@@ -1,0 +1,97 @@
+"""Branch-free vectorized Jacobian point arithmetic, generic over FOps.
+
+Replaces the reference's per-point WASM curve engine (g1m_*/g2m_* symbols
+driven from e.g. reference src/groth16_prove.js:106-120) with whole-array
+kernels.  Points are pytrees (X, Y, Z) of field elements; Z == 0 encodes the
+point at infinity.  All special cases (infinity operands, P == Q doubling,
+P == -Q cancellation) are resolved with masks so the same compiled program
+handles every lane — required under XLA's static-control-flow model.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def jac_zero(f, batch_shape=()):
+    return (f.zero(batch_shape), f.one(batch_shape), f.zero(batch_shape))
+
+
+def from_affine(f, x, y, inf_mask=None):
+    """Affine -> jacobian (Z=1); inf_mask marks points at infinity."""
+    bs = f.batch_shape(x)
+    one = f.one(bs)
+    zero = f.zero(bs)
+    if inf_mask is None:
+        return (x, y, one)
+    z = f.select(inf_mask, zero, one)
+    return (x, y, z)
+
+
+def is_inf(f, P):
+    return f.is_zero(P[2])
+
+
+def jac_neg(f, P):
+    return (P[0], f.neg(P[1]), P[2])
+
+
+def jac_dbl(f, P):
+    """dbl-2007-bl (a=0): works for Y=0 only via mask (no such points on our
+    curves), and maps infinity to infinity since Z3 = 2*Y1*Z1."""
+    X1, Y1, Z1 = P
+    A = f.sqr(X1)
+    B = f.sqr(Y1)
+    C = f.sqr(B)
+    # D = 2*((X1+B)^2 - A - C)
+    D = f.dbl(f.sub(f.sub(f.sqr(f.add(X1, B)), A), C))
+    E = f.add(f.add(A, A), A)  # 3A
+    F = f.sqr(E)
+    X3 = f.sub(F, f.dbl(D))
+    eightC = f.dbl(f.dbl(f.dbl(C)))
+    Y3 = f.sub(f.mul(E, f.sub(D, X3)), eightC)
+    Z3 = f.dbl(f.mul(Y1, Z1))
+    return (X3, Y3, Z3)
+
+
+def jac_add(f, P, Q):
+    """add-2007-bl with full special-case handling via selects."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1 = f.sqr(Z1)
+    Z2Z2 = f.sqr(Z2)
+    U1 = f.mul(X1, Z2Z2)
+    U2 = f.mul(X2, Z1Z1)
+    S1 = f.mul(f.mul(Y1, Z2), Z2Z2)
+    S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
+    H = f.sub(U2, U1)
+    r = f.dbl(f.sub(S2, S1))
+
+    I = f.sqr(f.dbl(H))
+    J = f.mul(H, I)
+    V = f.mul(U1, I)
+    X3 = f.sub(f.sub(f.sqr(r), J), f.dbl(V))
+    Y3 = f.sub(f.mul(r, f.sub(V, X3)), f.dbl(f.mul(S1, J)))
+    # ((Z1+Z2)^2 - Z1Z1 - Z2Z2) = 2*Z1*Z2
+    Z3 = f.mul(H, f.sub(f.sub(f.sqr(f.add(Z1, Z2)), Z1Z1), Z2Z2))
+
+    inf1 = is_inf(f, P)
+    inf2 = is_inf(f, Q)
+    h_zero = f.is_zero(H)
+    r_zero = f.is_zero(r)
+    # same x, same y -> doubling; same x, opposite y -> infinity (Z3=0 already)
+    dbl_case = h_zero & r_zero & ~inf1 & ~inf2
+    D = jac_dbl(f, P)
+
+    X3 = f.select(dbl_case, D[0], X3)
+    Y3 = f.select(dbl_case, D[1], Y3)
+    Z3 = f.select(dbl_case, D[2], Z3)
+
+    X3 = f.select(inf2, X1, f.select(inf1, X2, X3))
+    Y3 = f.select(inf2, Y1, f.select(inf1, Y2, Y3))
+    Z3 = f.select(inf2, Z1, f.select(inf1, Z2, Z3))
+    return (X3, Y3, Z3)
+
+
+def jac_select(f, mask, P, Q):
+    return tuple(f.select(mask, a, b) for a, b in zip(P, Q))

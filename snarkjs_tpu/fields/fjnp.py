@@ -78,44 +78,64 @@ def get_ctx(name_or_params) -> FieldCtx:
 
 
 # ---------------- carry / borrow primitives ----------------
+#
+# All limb chains run as lax.fori_loop bodies: the compiled graph is O(1) in
+# limb count (XLA-CPU compile time scales ~10ms/op, so unrolling 16-32-step
+# chains inside every montmul made single curve ops take minutes to compile).
+# Each loop step still processes the whole batch on the VPU.
 
 def _carry_prop(cols):
     """Propagate carries across limb axis 0; cols values < 2^32 arbitrary.
 
-    Returns 16-bit limbs, same shape, discarding the final carry-out.
+    Returns 16-bit limbs, same shape, plus the final carry-out.
     """
     n = cols.shape[0]
-    out = []
-    carry = jnp.zeros(cols.shape[1:], dtype=U32)
-    for k in range(n):
-        v = cols[k] + carry
-        out.append(v & _MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(out, axis=0), carry
+
+    def body(k, state):
+        buf, carry = state
+        v = jax.lax.dynamic_index_in_dim(buf, k, 0, keepdims=False) + carry
+        buf = jax.lax.dynamic_update_index_in_dim(buf, v & _MASK, k, 0)
+        return (buf, v >> LIMB_BITS)
+
+    init = (cols, jnp.zeros(cols.shape[1:], dtype=U32))
+    buf, carry = jax.lax.fori_loop(0, n, body, init)
+    return buf, carry
 
 
 def _sub_limbs(a, b):
     """a - b limbwise with borrow chain.  Returns (diff, borrow_out)."""
-    n = a.shape[0]
-    out = []
-    borrow = jnp.zeros(a.shape[1:], dtype=U32)
+    bshape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, bshape)
+    b = jnp.broadcast_to(b, bshape)
+    n = bshape[0]
     base = np.uint32(1 << LIMB_BITS)
-    for k in range(n):
-        d = a[k] + base - b[k] - borrow
-        out.append(d & _MASK)
-        borrow = np.uint32(1) - (d >> LIMB_BITS)
-    return jnp.stack(out, axis=0), borrow
+
+    def body(k, state):
+        buf, borrow = state
+        d = (jax.lax.dynamic_index_in_dim(a, k, 0, keepdims=False) + base
+             - jax.lax.dynamic_index_in_dim(b, k, 0, keepdims=False) - borrow)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, d & _MASK, k, 0)
+        return (buf, np.uint32(1) - (d >> LIMB_BITS))
+
+    init = (jnp.zeros(bshape, dtype=U32), jnp.zeros(bshape[1:], dtype=U32))
+    return jax.lax.fori_loop(0, n, body, init)
 
 
 def _add_limbs(a, b):
-    n = a.shape[0]
-    out = []
-    carry = jnp.zeros(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=U32)
-    for k in range(n):
-        v = a[k] + b[k] + carry
-        out.append(v & _MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(out, axis=0), carry
+    bshape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, bshape)
+    b = jnp.broadcast_to(b, bshape)
+    n = bshape[0]
+
+    def body(k, state):
+        buf, carry = state
+        v = (jax.lax.dynamic_index_in_dim(a, k, 0, keepdims=False)
+             + jax.lax.dynamic_index_in_dim(b, k, 0, keepdims=False) + carry)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, v & _MASK, k, 0)
+        return (buf, v >> LIMB_BITS)
+
+    init = (jnp.zeros(bshape, dtype=U32), jnp.zeros(bshape[1:], dtype=U32))
+    return jax.lax.fori_loop(0, n, body, init)
 
 
 def _cond_sub_p(ctx, limbs, carry):
@@ -158,19 +178,27 @@ def _conv_columns(a, b, na, nb, out_cols):
 
     a: (na, *B), b: (nb, *B) -> (out_cols, *B) where column k accumulates
     lo/hi halves of all a_i*b_j with i+j == k (hi goes to column k+1).
+
+    Runs as a fori_loop over a's limbs; the scratch buffer is padded to
+    na+nb+1 columns so every iteration uses the same static update width,
+    then truncated to out_cols (the low-mul case simply discards the tail).
     """
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    cols = jnp.zeros((out_cols,) + batch, dtype=U32)
-    for i in range(na):
-        hi_limit = min(nb, out_cols - i - 1)
-        lo_limit = min(nb, out_cols - i)
-        if lo_limit <= 0:
-            break
-        prod = a[i][None, ...] * b[:lo_limit]
-        cols = cols.at[i : i + lo_limit].add(prod & _MASK)
-        if hi_limit > 0:
-            cols = cols.at[i + 1 : i + 1 + hi_limit].add(prod[:hi_limit] >> LIMB_BITS)
-    return cols
+    scratch_cols = na + nb + 1
+    b_full = jnp.broadcast_to(b, (nb,) + batch)
+
+    def body(i, cols):
+        ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+        prod = ai[None, ...] * b_full
+        lo = prod & _MASK
+        hi = prod >> LIMB_BITS
+        win = jax.lax.dynamic_slice_in_dim(cols, i, nb + 1, 0)
+        win = win.at[:nb].add(lo).at[1:].add(hi)
+        return jax.lax.dynamic_update_slice_in_dim(cols, win, i, 0)
+
+    cols = jnp.zeros((scratch_cols,) + batch, dtype=U32)
+    cols = jax.lax.fori_loop(0, na, body, cols)
+    return cols[:out_cols]
 
 
 def mont_mul(ctx: FieldCtx, a, b):
