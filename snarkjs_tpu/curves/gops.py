@@ -60,6 +60,9 @@ class FqOps:
     def stack_last(self, elems):
         return jnp.stack(elems, axis=-1)
 
+    def batch_inv(self, a):
+        return fjnp.batch_inverse(self.ctx, a, axis=-1)
+
 
 class Fq2Ops:
     """Fq2 = Fq[u]/(u^2+1) — holds for bn254 and bls12-381 base fields."""
@@ -116,3 +119,9 @@ class Fq2Ops:
     def stack_last(self, elems):
         return (jnp.stack([e[0] for e in elems], axis=-1),
                 jnp.stack([e[1] for e in elems], axis=-1))
+
+    def batch_inv(self, a):
+        # (a0 + a1 u)^-1 = (a0 - a1 u) / (a0^2 + a1^2)
+        norm = self.fq.add(self.fq.sqr(a[0]), self.fq.sqr(a[1]))
+        t = self.fq.batch_inv(norm)
+        return (self.fq.mul(a[0], t), self.fq.neg(self.fq.mul(a[1], t)))

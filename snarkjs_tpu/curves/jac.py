@@ -10,6 +10,7 @@ handles every lane — required under XLA's static-control-flow model.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -95,3 +96,50 @@ def jac_add(f, P, Q):
 
 def jac_select(f, mask, P, Q):
     return tuple(f.select(mask, a, b) for a, b in zip(P, Q))
+
+
+def batch_scalar_mul(f, P, scalar_bits):
+    """k_i * P_i for a batch of points and per-point scalars.
+
+    P: jacobian batch; scalar_bits: (nbits, N) uint32 0/1, most significant
+    first.  Left-to-right double-and-add, lax.scan over bits (one add + one
+    dbl in the compiled graph).  Used by ceremony batchApplyKey-style ops and
+    setup key generation.
+    """
+    bs = f.batch_shape(P[0])
+
+    def step(acc, bits):
+        acc = jac_dbl(f, acc)
+        added = jac_add(f, acc, P)
+        return jac_select(f, bits != 0, added, acc), None
+
+    acc0 = jac_zero(f, bs)
+    acc, _ = jax.lax.scan(step, acc0, scalar_bits)
+    return acc
+
+
+def scalar_bits_from_limbs(scalars, nbits):
+    """(NL, N) 16-bit limb scalars -> (nbits, N) bit array, MSB first."""
+    nl, n = scalars.shape
+    limb_idx = (nbits - 1 - jnp.arange(nbits)) // 16
+    bit_idx = (nbits - 1 - jnp.arange(nbits)) % 16
+    limbs = scalars[limb_idx]            # (nbits, N)
+    return (limbs >> bit_idx[:, None]) & 1
+
+
+def to_affine_batch(f, P, batch_inv_fn):
+    """Jacobian -> affine ((x, y, inf)) using one batched inversion.
+
+    batch_inv_fn(elem) must invert a field-element batch (zeros -> zeros).
+    """
+    X, Y, Z = P
+    inf = is_inf(f, P)
+    zi = batch_inv_fn(Z)
+    zi2 = f.sqr(zi)
+    zi3 = f.mul(zi2, zi)
+    x = f.mul(X, zi2)
+    y = f.mul(Y, zi3)
+    zero = jac_zero(f, f.batch_shape(X))[0]
+    x = f.select(inf, zero, x)
+    y = f.select(inf, zero, y)
+    return x, y, inf
