@@ -79,10 +79,35 @@ def get_ctx(name_or_params) -> FieldCtx:
 
 # ---------------- carry / borrow primitives ----------------
 #
-# All limb chains run as lax.fori_loop bodies: the compiled graph is O(1) in
-# limb count (XLA-CPU compile time scales ~10ms/op, so unrolling 16-32-step
-# chains inside every montmul made single curve ops take minutes to compile).
-# Each loop step still processes the whole batch on the VPU.
+# Two code paths, chosen once at import by backend:
+#   * TPU (axon/tpu): limb chains fully unrolled — Mosaic/XLA-TPU compiles
+#     large graphs quickly and unrolled chains fuse into one kernel, which
+#     matters because curve ops run inside lax.scan bodies (a fori_loop per
+#     montmul would serialize ~100 tiny device steps per scan iteration).
+#   * CPU: lax.fori_loop bodies — XLA-CPU compile time scales ~10ms/HLO-op,
+#     so unrolled chains made a single jac_add take minutes to compile.
+
+def _use_unrolled() -> bool:
+    import os
+
+    env = os.environ.get("SNARKJS_TPU_UNROLL")
+    if env is not None:
+        return env not in ("0", "false")
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+UNROLL_LIMBS = None  # resolved lazily on first kernel build
+
+
+def _unrolled() -> bool:
+    global UNROLL_LIMBS
+    if UNROLL_LIMBS is None:
+        UNROLL_LIMBS = _use_unrolled()
+    return UNROLL_LIMBS
+
 
 def _carry_prop(cols):
     """Propagate carries across limb axis 0; cols values < 2^32 arbitrary.
@@ -90,6 +115,14 @@ def _carry_prop(cols):
     Returns 16-bit limbs, same shape, plus the final carry-out.
     """
     n = cols.shape[0]
+    if _unrolled():
+        out = []
+        carry = jnp.zeros(cols.shape[1:], dtype=U32)
+        for k in range(n):
+            v = cols[k] + carry
+            out.append(v & _MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(out, axis=0), carry
 
     def body(k, state):
         buf, carry = state
@@ -105,10 +138,19 @@ def _carry_prop(cols):
 def _sub_limbs(a, b):
     """a - b limbwise with borrow chain.  Returns (diff, borrow_out)."""
     bshape = jnp.broadcast_shapes(a.shape, b.shape)
-    a = jnp.broadcast_to(a, bshape)
-    b = jnp.broadcast_to(b, bshape)
     n = bshape[0]
     base = np.uint32(1 << LIMB_BITS)
+    if _unrolled():
+        out = []
+        borrow = jnp.zeros(bshape[1:], dtype=U32)
+        for k in range(n):
+            d = a[k] + base - b[k] - borrow
+            out.append(jnp.broadcast_to(d & _MASK, bshape[1:]))
+            borrow = np.uint32(1) - (d >> LIMB_BITS)
+        return jnp.stack(out, axis=0), borrow
+
+    a = jnp.broadcast_to(a, bshape)
+    b = jnp.broadcast_to(b, bshape)
 
     def body(k, state):
         buf, borrow = state
@@ -123,9 +165,18 @@ def _sub_limbs(a, b):
 
 def _add_limbs(a, b):
     bshape = jnp.broadcast_shapes(a.shape, b.shape)
+    n = bshape[0]
+    if _unrolled():
+        out = []
+        carry = jnp.zeros(bshape[1:], dtype=U32)
+        for k in range(n):
+            v = a[k] + b[k] + carry
+            out.append(jnp.broadcast_to(v & _MASK, bshape[1:]))
+            carry = v >> LIMB_BITS
+        return jnp.stack(out, axis=0), carry
+
     a = jnp.broadcast_to(a, bshape)
     b = jnp.broadcast_to(b, bshape)
-    n = bshape[0]
 
     def body(k, state):
         buf, carry = state
@@ -185,6 +236,20 @@ def _conv_columns(a, b, na, nb, out_cols):
     """
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     scratch_cols = na + nb + 1
+    if _unrolled():
+        cols = [jnp.zeros(batch, dtype=U32) for _ in range(out_cols)]
+        for i in range(na):
+            hi_limit = min(nb, out_cols - i - 1)
+            lo_limit = min(nb, out_cols - i)
+            if lo_limit <= 0:
+                break
+            prod = a[i][None, ...] * b[:lo_limit]
+            for j in range(lo_limit):
+                cols[i + j] = cols[i + j] + (prod[j] & _MASK)
+            for j in range(hi_limit):
+                cols[i + 1 + j] = cols[i + 1 + j] + (prod[j] >> LIMB_BITS)
+        return jnp.stack(cols, axis=0)
+
     b_full = jnp.broadcast_to(b, (nb,) + batch)
 
     def body(i, cols):

@@ -1,0 +1,58 @@
+"""Multi-device sharded MSM / NTT vs single-device results (8 virtual CPUs)."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from snarkjs_tpu.curves import host_curve as hc, msm
+from snarkjs_tpu.curves.gops import FqOps
+from snarkjs_tpu.fields import fjnp
+from snarkjs_tpu.ntt import ntt as nttmod
+from snarkjs_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.array(jax.devices()[:8])
+    assert len(devs) == 8, "conftest must provide 8 virtual devices"
+    return Mesh(devs, ("d",))
+
+
+def test_ntt_sharded_matches_local(mesh):
+    fp = fjnp.get_ctx("bn254_fr").fp
+    ctx = fjnp.get_ctx("bn254_fr")
+    rng = random.Random(21)
+    n = 1 << 8  # n1=16, n2=16, both divisible by 8
+    vals = [rng.randrange(fp.p) for _ in range(n)]
+    x = fjnp.to_mont(ctx, fjnp.np_from_ints(fp, vals))
+    want = np.asarray(nttmod.ntt(ctx, x))
+    got = np.asarray(sharded.ntt_sharded(mesh, ctx, x))
+    np.testing.assert_array_equal(got, want)
+    # inverse roundtrip through the sharded path
+    back = np.asarray(sharded.ntt_sharded(mesh, ctx, got, inverse=True))
+    np.testing.assert_array_equal(back, np.asarray(x))
+
+
+def test_msm_sharded_matches_local(mesh):
+    cv = hc.BN254
+    rng = random.Random(23)
+    n = 64
+    ks = [rng.randrange(1, cv.fr.p) for _ in range(n)]
+    pts = [hc.g1_mul(cv, cv.g1, k) for k in ks]
+    scal = [rng.randrange(cv.fr.p) for _ in range(n)]
+    fq = cv.fq
+    px = fjnp.np_from_ints(fq, [fq.to_mont(p[0]) for p in pts])
+    py = fjnp.np_from_ints(fq, [fq.to_mont(p[1]) for p in pts])
+    inf = np.zeros(n, dtype=bool)
+    s = fjnp.np_from_ints(cv.fr, scal)
+    f = FqOps(fjnp.get_ctx("bn254_fq"))
+    ws = sharded.msm_sharded(mesh, f, px, py, inf, s, c=8, nbits=256, R=4)
+    mctx = msm.MSMContext(fjnp.get_ctx("bn254_fq"), fq, extension=1)
+    got = msm.host_jac_to_affine(fq, mctx._finish(ws, 8, 256), 1)
+    want = None
+    for p, k in zip(pts, scal):
+        want = hc.g1_add(cv, want, hc.g1_mul(cv, p, k))
+    assert got == want
