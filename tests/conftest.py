@@ -17,3 +17,11 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by XLA compile time of
+# the big-integer kernels (exp chains, NTT stages), which are identical across
+# runs. Cache them on disk so repeat runs are fast.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
