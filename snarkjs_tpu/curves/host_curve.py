@@ -181,7 +181,11 @@ def g2_add(cv, P, Q):
 
 
 def g2_mul(cv, P, k: int):
-    k %= cv.fr.p
+    return g2_mul_any(cv, P, k % cv.fr.p)
+
+
+def g2_mul_any(cv, P, k: int):
+    """Scalar mul WITHOUT reduction mod r (cofactor clearing needs k > r)."""
     R = None
     while k > 0:
         if k & 1:

@@ -42,13 +42,17 @@ def window_digits(scalars, c: int, nbits: int):
     nw = (nbits + c - 1) // c
     if c == LIMB_BITS:
         return scalars[:nw].astype(jnp.int32)
-    if c == 8:
-        digs = []
-        for w in range(nw):
-            limb = scalars[w // 2]
-            digs.append(((limb >> (8 * (w % 2))) & 0xFF).astype(jnp.int32))
-        return jnp.stack(digs, axis=0)
-    raise ValueError(f"unsupported window size {c}")
+    if not 1 <= c <= LIMB_BITS:
+        raise ValueError(f"unsupported window size {c}")
+    mask = (1 << c) - 1
+    digs = []
+    for w in range(nw):
+        i, sh = divmod(w * c, LIMB_BITS)
+        v = scalars[i].astype(jnp.uint32) >> sh
+        if sh + c > LIMB_BITS and i + 1 < nl:
+            v = v | (scalars[i + 1].astype(jnp.uint32) << (LIMB_BITS - sh))
+        digs.append((v & mask).astype(jnp.int32))
+    return jnp.stack(digs, axis=0)
 
 
 def _seg_scan_2level(f, P, seg_start, R: int, C: int):
