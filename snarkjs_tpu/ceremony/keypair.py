@@ -99,16 +99,18 @@ def g1_cofactor(cv: hc.CurveParams) -> int:
 
 
 def g2_cofactor(cv: hc.CurveParams) -> int:
-    p, r = cv.fq.p, cv.fr.p
+    """Cofactor of the sextic-twist group E'(Fp2) (NOT of E(Fp2)!), matching
+    ffjavascript's hard-coded cofactorG2 constants.
+
+    BN: #E'(Fp2) = h2*r with h2 = p + t - 1 = 36x^4+36x^3+30x^2+6x+1.
+    BLS12: h2 = (x^8-4x^7+5x^6-4x^4+6x^3-4x^2-4x+13)/9.
+    """
+    x = cv.x_param
     if cv.name == "bn128":
-        x = cv.x_param
         t = 6 * x * x + 1
-    else:
-        t = cv.x_param + 1
-    t2 = t * t - 2 * p
-    n2 = p * p + 1 - t2
-    assert n2 % r == 0
-    return n2 // r
+        return cv.fq.p + t - 1
+    return (x**8 - 4 * x**7 + 5 * x**6 - 4 * x**4 + 6 * x**3
+            - 4 * x**2 - 4 * x + 13) // 9
 
 
 def g1_from_rng(cv: hc.CurveParams, rng: ChaCha):
