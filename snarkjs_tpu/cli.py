@@ -1,0 +1,528 @@
+"""Command-line interface mirroring the reference's command surface
+(reference cli.js:55-345 + src/clprocessor.js): `snarkjs_tpu <cmd> ...`.
+
+Commands accept the same positional arguments as snarkjs; unlike the
+reference's custom processor, dispatch here is a longest-prefix match over
+the registered command words with the same aliases (ptau/powersoftau, g16,
+zkv/zkey verify, ...).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _log():
+    import logging
+
+    logger = logging.getLogger("snarkjs_tpu")
+    if not logger.handlers:
+        h = logging.StreamHandler(sys.stderr)
+        h.setFormatter(logging.Formatter("[%(levelname)s]  %(message)s"))
+        logger.addHandler(h)
+    logger.setLevel(logging.INFO)
+    return logger
+
+
+def _write_json(path, obj):
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=1)
+
+
+def _read_json(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# powers of tau
+
+def ptau_new(curve, power, out="powersoftau_0000.ptau", **kw):
+    from .ceremony import ptau_ops
+    from .curves import host_curve as hc
+
+    cv = hc.get_curve(curve)
+    pt = ptau_ops.new_accumulator(cv, int(power))
+    pt.save(out)
+    return 0
+
+
+def ptau_contribute(old, new, name="", entropy=None, **kw):
+    from .ceremony import ptau_ops
+    from .formats import ptau as ptau_fmt
+
+    pt = ptau_fmt.read_ptau(old)
+    pt2, resp = ptau_ops.contribute(pt, name=name, entropy=entropy)
+    pt2.save(new)
+    print(ptau_fmt.format_hash(resp, "Contribution Response Hash:"))
+    return 0
+
+
+def ptau_beacon(old, new, beacon_hash, num_iterations_exp, name="", **kw):
+    from .ceremony import ptau_ops
+    from .formats import ptau as ptau_fmt
+
+    pt = ptau_fmt.read_ptau(old)
+    pt2, resp = ptau_ops.beacon(pt, ptau_ops.parse_beacon_hash(beacon_hash),
+                                int(num_iterations_exp), name=name)
+    pt2.save(new)
+    return 0
+
+
+def ptau_export_challenge(ptau_path, challenge="challenge", **kw):
+    from .ceremony import ptau_ops
+    from .formats import ptau as ptau_fmt
+
+    pt = ptau_fmt.read_ptau(ptau_path)
+    with open(challenge, "wb") as f:
+        f.write(ptau_ops.export_challenge(pt))
+    return 0
+
+
+def ptau_challenge_contribute(curve, challenge, response="response",
+                              entropy=None, **kw):
+    from .ceremony import ptau_ops
+    from .curves import host_curve as hc
+
+    cv = hc.get_curve(curve)
+    with open(challenge, "rb") as f:
+        data = f.read()
+    with open(response, "wb") as f:
+        f.write(ptau_ops.challenge_contribute(cv, data, entropy=entropy))
+    return 0
+
+
+def ptau_import_response(old, response, new, name="", **kw):
+    from .ceremony import ptau_ops
+    from .formats import ptau as ptau_fmt
+
+    pt = ptau_fmt.read_ptau(old)
+    with open(response, "rb") as f:
+        data = f.read()
+    pt2 = ptau_ops.import_response(pt, data, name=name)
+    pt2.save(new)
+    return 0
+
+
+def ptau_prepare_phase2(old, new, **kw):
+    from .ceremony import ptau_ops
+    from .formats import ptau as ptau_fmt
+
+    ptau_ops.prepare_phase2(ptau_fmt.read_ptau(old),
+                            logger=_log()).save(new)
+    return 0
+
+
+def ptau_convert(old, new, **kw):
+    from .ceremony import ptau_ops
+    from .formats import ptau as ptau_fmt
+
+    ptau_ops.convert(ptau_fmt.read_ptau(old)).save(new)
+    return 0
+
+
+def ptau_truncate(ptau_path, **kw):
+    from .ceremony import ptau_ops
+    from .formats import ptau as ptau_fmt
+
+    pt = ptau_fmt.read_ptau(ptau_path)
+    base = ptau_path[:-5] if ptau_path.endswith(".ptau") else ptau_path
+    for p in range(1, pt.power):
+        ptau_ops.truncate(pt, p).save(f"{base}_{p:02d}.ptau")
+    return 0
+
+
+def ptau_verify(ptau_path, **kw):
+    from .ceremony import ptau_ops
+    from .formats import ptau as ptau_fmt
+
+    ok = ptau_ops.verify(ptau_fmt.read_ptau(ptau_path), logger=_log())
+    print("Powers of Tau Ok!" if ok else "INVALID")
+    return 0 if ok else 1
+
+
+def ptau_export_json(ptau_path, out, **kw):
+    from .ceremony import ptau_ops
+    from .formats import ptau as ptau_fmt
+
+    _write_json(out, ptau_ops.export_json(ptau_fmt.read_ptau(ptau_path)))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# r1cs / wtns
+
+def r1cs_info_cmd(r1cs_path="circuit.r1cs", **kw):
+    from .formats.r1cs import read_r1cs
+    from . import tools
+
+    tools.r1cs_info(read_r1cs(r1cs_path), logger=_log())
+    return 0
+
+
+def r1cs_print_cmd(r1cs_path="circuit.r1cs", sym_path="circuit.sym", **kw):
+    from .formats.r1cs import read_r1cs
+    from . import tools
+
+    syms = tools.load_syms(sym_path)
+    for line in tools.r1cs_print(read_r1cs(r1cs_path), syms):
+        print(line)
+    return 0
+
+
+def r1cs_export_json_cmd(r1cs_path="circuit.r1cs", out="circuit.json", **kw):
+    from .formats.r1cs import read_r1cs
+    from . import tools
+
+    _write_json(out, tools.r1cs_export_json(read_r1cs(r1cs_path)))
+    return 0
+
+
+def wtns_calculate_cmd(wasm="circuit.wasm", input_json="input.json",
+                       wtns_out="witness.wtns", **kw):
+    from .wasm.witness_calculator import calculate_wtns
+
+    data = calculate_wtns(_read_json(input_json), wasm)
+    with open(wtns_out, "wb") as f:
+        f.write(data)
+    return 0
+
+
+def wtns_debug_cmd(wasm="circuit.wasm", input_json="input.json",
+                   wtns_out="witness.wtns", sym="circuit.sym", **kw):
+    from . import tools
+
+    data = tools.wtns_debug(_read_json(input_json), wasm, sym_path=sym,
+                            logger=_log())
+    with open(wtns_out, "wb") as f:
+        f.write(data)
+    return 0
+
+
+def wtns_export_json_cmd(wtns_path="witness.wtns", out="witness.json", **kw):
+    from .formats import wtns as wtns_fmt
+    from . import tools
+
+    _write_json(out, tools.wtns_export_json(wtns_fmt.read_wtns(wtns_path)))
+    return 0
+
+
+def wtns_check_cmd(r1cs_path="circuit.r1cs", wtns_path="witness.wtns", **kw):
+    from .formats.r1cs import read_r1cs
+    from .formats import wtns as wtns_fmt
+    from . import tools
+
+    ok = tools.wtns_check(read_r1cs(r1cs_path),
+                          wtns_fmt.read_wtns(wtns_path), logger=_log())
+    return 0 if ok else 1
+
+
+# ---------------------------------------------------------------------------
+# zkey (phase 2)
+
+def zkey_contribute(old, new, name="", entropy=None, **kw):
+    from .ceremony import zkey_mpc
+    from .formats import ptau as ptau_fmt
+
+    with open(old, "rb") as f:
+        data = f.read()
+    out, chash = zkey_mpc.contribute(data, name=name, entropy=entropy)
+    with open(new, "wb") as f:
+        f.write(out)
+    print(ptau_fmt.format_hash(chash, "Contribution Hash:"))
+    return 0
+
+
+def zkey_beacon(old, new, beacon_hash, num_iterations_exp, name="", **kw):
+    from .ceremony import ptau_ops, zkey_mpc
+
+    with open(old, "rb") as f:
+        data = f.read()
+    out, _ = zkey_mpc.beacon(data, ptau_ops.parse_beacon_hash(beacon_hash),
+                             int(num_iterations_exp), name=name)
+    with open(new, "wb") as f:
+        f.write(out)
+    return 0
+
+
+def zkey_verify_r1cs(r1cs_path, ptau_path, zkey_path, **kw):
+    from .ceremony import zkey_mpc
+    from .formats import ptau as ptau_fmt
+    from .formats.r1cs import read_r1cs
+
+    with open(zkey_path, "rb") as f:
+        zdata = f.read()
+    ok = zkey_mpc.verify_from_r1cs(read_r1cs(r1cs_path),
+                                   ptau_fmt.read_ptau(ptau_path), zdata,
+                                   logger=_log())
+    print("ZKey Ok!" if ok else "INVALID")
+    return 0 if ok else 1
+
+
+def zkey_verify_init(init_path, ptau_path, zkey_path, **kw):
+    from .ceremony import zkey_mpc
+    from .formats import ptau as ptau_fmt
+
+    with open(init_path, "rb") as f:
+        idata = f.read()
+    with open(zkey_path, "rb") as f:
+        zdata = f.read()
+    ok = zkey_mpc.verify_from_init(idata, ptau_fmt.read_ptau(ptau_path),
+                                   zdata, logger=_log())
+    print("ZKey Ok!" if ok else "INVALID")
+    return 0 if ok else 1
+
+
+def _read_zkey_any(zkey_path):
+    from .formats import zkey as zkey_fmt
+    from .formats.binfile import BinFile
+
+    bf = BinFile.load(zkey_path, "zkey")
+    pid = zkey_fmt.read_header(bf)
+    if pid == zkey_fmt.GROTH16_PROTOCOL_ID:
+        return "groth16", zkey_fmt.read_groth16_zkey(zkey_path)
+    if pid == zkey_fmt.PLONK_PROTOCOL_ID:
+        return "plonk", zkey_fmt.read_plonk_zkey(zkey_path)
+    if pid == zkey_fmt.FFLONK_PROTOCOL_ID:
+        return "fflonk", zkey_fmt.read_fflonk_zkey(zkey_path)
+    raise ValueError("zkey file protocol unrecognized")
+
+
+def zkey_export_verificationkey(zkey_path="circuit_final.zkey",
+                                out="verification_key.json", **kw):
+    proto, zk = _read_zkey_any(zkey_path)
+    mod = _proto_module(proto)
+    _write_json(out, mod.export_verification_key(zk))
+    return 0
+
+
+def zkey_export_solidityverifier(zkey_path="circuit_final.zkey",
+                                 out="verifier.sol", **kw):
+    from .export import solidity
+
+    proto, zk = _read_zkey_any(zkey_path)
+    vk = _proto_module(proto).export_verification_key(zk)
+    with open(out, "w") as f:
+        f.write(solidity.export_verifier(vk))
+    return 0
+
+
+def zkey_export_soliditycalldata(public_json="public.json",
+                                 proof_json="proof.json", **kw):
+    proof = _read_json(proof_json)
+    publics = _read_json(public_json)
+    mod = _proto_module(proof["protocol"])
+    print(mod.export_solidity_calldata(proof, publics))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# protocols
+
+def _proto_module(name):
+    if name == "groth16":
+        from .protocols import groth16 as m
+    elif name == "plonk":
+        from .protocols import plonk as m
+    elif name == "fflonk":
+        from .protocols import fflonk as m
+    else:
+        raise ValueError(f"unknown protocol {name}")
+    return m
+
+
+def groth16_setup(r1cs_path, ptau_path, zkey_out, **kw):
+    from .formats import ptau as ptau_fmt
+    from .formats.r1cs import read_r1cs
+    from .protocols import groth16_setup as gs
+
+    data = gs.setup_from_ptau(read_r1cs(r1cs_path),
+                              ptau_fmt.read_ptau(ptau_path), logger=_log())
+    with open(zkey_out, "wb") as f:
+        f.write(data)
+    return 0
+
+
+def plonk_setup_cmd(r1cs_path, ptau_path, zkey_out, **kw):
+    from .formats import ptau as ptau_fmt
+    from .formats.r1cs import read_r1cs
+    from .protocols import plonk_setup as ps
+
+    data = ps.setup_from_ptau(read_r1cs(r1cs_path),
+                              ptau_fmt.read_ptau(ptau_path))
+    with open(zkey_out, "wb") as f:
+        f.write(data)
+    return 0
+
+
+def fflonk_setup_cmd(r1cs_path, ptau_path, zkey_out, **kw):
+    from .formats import ptau as ptau_fmt
+    from .formats.r1cs import read_r1cs
+    from .protocols import fflonk_setup as fs
+
+    data = fs.setup_from_ptau(read_r1cs(r1cs_path),
+                              ptau_fmt.read_ptau(ptau_path), logger=_log())
+    with open(zkey_out, "wb") as f:
+        f.write(data)
+    return 0
+
+
+def _prove(proto, zkey_path, wtns_path, proof_out, public_out, **kw):
+    mod = _proto_module(proto)
+    proof, publics = mod.prove_files(zkey_path, wtns_path)
+    _write_json(proof_out, proof)
+    _write_json(public_out, publics)
+    return 0
+
+
+def _verify(proto, vk_json, public_json, proof_json, **kw):
+    mod = _proto_module(proto)
+    ok = mod.verify(_read_json(vk_json), _read_json(public_json),
+                    _read_json(proof_json), logger=_log())
+    print("OK!" if ok else "INVALID proof")
+    return 0 if ok else 1
+
+
+def _fullprove(proto, input_json, wasm_path, zkey_path, proof_out,
+               public_out, **kw):
+    """reference src/groth16_fullprove.js / plonk_fullprove.js /
+    fflonk_full_prove.js: witness calc (in memory) + prove."""
+    from .formats import wtns as wtns_fmt
+    from .wasm.witness_calculator import calculate_wtns
+
+    wtns_bytes = calculate_wtns(_read_json(input_json), wasm_path)
+    mod = _proto_module(proto)
+    if proto == "groth16":
+        from .formats import zkey as zkey_fmt
+
+        zk = zkey_fmt.read_groth16_zkey(zkey_path)
+    elif proto == "plonk":
+        from .formats import zkey as zkey_fmt
+
+        zk = zkey_fmt.read_plonk_zkey(zkey_path)
+    else:
+        from .formats import zkey as zkey_fmt
+
+        zk = zkey_fmt.read_fflonk_zkey(zkey_path)
+    proof, publics = mod.prove(zk, wtns_fmt.read_wtns(wtns_bytes))
+    _write_json(proof_out, proof)
+    _write_json(public_out, publics)
+    return 0
+
+
+def file_info(path, **kw):
+    """binfile inspector (reference cli.js:1265-1312)."""
+    from .formats.binfile import BinFile
+
+    with open(path, "rb") as f:
+        data = f.read()
+    bf = BinFile(data)
+    print(f"type: {bf.ftype}")
+    print(f"version: {bf.version}")
+    for stype in sorted(bf.sections):
+        for idx, sec in enumerate(bf.sections[stype]):
+            print(f"  section {stype}.{idx}: {sec.size} bytes at {sec.pos}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# dispatch table: (command words) -> handler
+
+COMMANDS = [
+    (("powersoftau", "new"), ptau_new),
+    (("powersoftau", "contribute"), ptau_contribute),
+    (("powersoftau", "export", "challenge"), ptau_export_challenge),
+    (("powersoftau", "challenge", "contribute"), ptau_challenge_contribute),
+    (("powersoftau", "import", "response"), ptau_import_response),
+    (("powersoftau", "beacon"), ptau_beacon),
+    (("powersoftau", "prepare", "phase2"), ptau_prepare_phase2),
+    (("powersoftau", "convert"), ptau_convert),
+    (("powersoftau", "truncate"), ptau_truncate),
+    (("powersoftau", "verify"), ptau_verify),
+    (("powersoftau", "export", "json"), ptau_export_json),
+    (("r1cs", "info"), r1cs_info_cmd),
+    (("r1cs", "print"), r1cs_print_cmd),
+    (("r1cs", "export", "json"), r1cs_export_json_cmd),
+    (("wtns", "calculate"), wtns_calculate_cmd),
+    (("wtns", "debug"), wtns_debug_cmd),
+    (("wtns", "export", "json"), wtns_export_json_cmd),
+    (("wtns", "check"), wtns_check_cmd),
+    (("zkey", "contribute"), zkey_contribute),
+    (("zkey", "beacon"), zkey_beacon),
+    (("zkey", "verify", "r1cs"), zkey_verify_r1cs),
+    (("zkey", "verify", "init"), zkey_verify_init),
+    (("zkey", "verify"), zkey_verify_r1cs),
+    (("zkey", "export", "verificationkey"), zkey_export_verificationkey),
+    (("zkey", "export", "solidityverifier"), zkey_export_solidityverifier),
+    (("zkey", "export", "soliditycalldata"), zkey_export_soliditycalldata),
+    (("groth16", "setup"), groth16_setup),
+    (("groth16", "prove"), lambda *a, **k: _prove("groth16", *a, **k)),
+    (("groth16", "fullprove"), lambda *a, **k: _fullprove("groth16", *a, **k)),
+    (("groth16", "verify"), lambda *a, **k: _verify("groth16", *a, **k)),
+    (("plonk", "setup"), plonk_setup_cmd),
+    (("plonk", "prove"), lambda *a, **k: _prove("plonk", *a, **k)),
+    (("plonk", "fullprove"), lambda *a, **k: _fullprove("plonk", *a, **k)),
+    (("plonk", "verify"), lambda *a, **k: _verify("plonk", *a, **k)),
+    (("fflonk", "setup"), fflonk_setup_cmd),
+    (("fflonk", "prove"), lambda *a, **k: _prove("fflonk", *a, **k)),
+    (("fflonk", "fullprove"), lambda *a, **k: _fullprove("fflonk", *a, **k)),
+    (("fflonk", "verify"), lambda *a, **k: _verify("fflonk", *a, **k)),
+    (("file", "info"), file_info),
+]
+
+ALIASES = {"ptau": "powersoftau", "g16": "groth16", "pt": "powersoftau",
+           "zk": "zkey", "w": "wtns", "f": "file"}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    opts = {}
+    words = []
+    for a in argv:
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a[2:].split("=", 1)
+                opts[k] = v
+            else:
+                opts[a[2:]] = True
+        elif a == "-v":
+            opts["verbose"] = True
+        elif a.startswith("-e"):
+            opts["entropy"] = a[2:] or True
+        else:
+            words.append(a)
+    if words:
+        words[0] = ALIASES.get(words[0], words[0])
+    if not words or opts.get("help"):
+        print("usage: snarkjs_tpu <command> ... "
+              "(commands mirror iden3/snarkjs cli.js)")
+        for cmd, _fn in COMMANDS:
+            print("  " + " ".join(cmd))
+        return 0 if words == [] else 1
+
+    # longest-prefix match
+    best = None
+    for cmd, fn in COMMANDS:
+        if tuple(words[:len(cmd)]) == cmd:
+            if best is None or len(cmd) > len(best[0]):
+                best = (cmd, fn)
+    if best is None:
+        print(f"unknown command: {' '.join(words)}", file=sys.stderr)
+        return 1
+    cmd, fn = best
+    args = words[len(cmd):]
+    kwargs = {}
+    if "name" in opts:
+        kwargs["name"] = opts["name"]
+    if "entropy" in opts and opts["entropy"] is not True:
+        kwargs["entropy"] = opts["entropy"]
+    try:
+        return fn(*args, **kwargs) or 0
+    except TypeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -175,6 +175,35 @@ def _msm_device(f, px, py, pinf, scalars, c: int, nbits: int, R: int = 256):
     return _bucket_reduce_batched(f, buckets, c)
 
 
+def segmented_msm(f, px, py, pinf, scalars, seg, n_out: int, nbits: int,
+                  R: int = 64):
+    """Per-segment MSM: out[k] = sum_{i: seg[i]==k} scalars_i * P_i.
+
+    seg must be sorted ascending (entries grouped by segment).  Used by the
+    Groth16 setup's per-signal point composition (reference
+    src/zkey_new.js:338-501 fans per-signal multiExpAffine calls to workers;
+    here one batch scalar-mul + one segmented jacobian scan covers every
+    signal).  Returns jacobian arrays with (n_out,) batch; empty segments
+    come out as infinity (reference writes g1m_zero for them, :459-464).
+    """
+    n = seg.shape[0]
+    assert n % R == 0
+    C = n // R
+    bits = jac.scalar_bits_from_limbs(scalars, nbits)
+    P = jac.batch_scalar_mul(f, jac.from_affine(f, px, py, pinf), bits)
+
+    prev = jnp.concatenate([jnp.full((1,), -1, dtype=seg.dtype), seg[:-1]])
+    scanned = _seg_scan_2level(f, P, seg != prev, R, C)
+    nxt = jnp.concatenate([seg[1:], jnp.full((1,), -1, dtype=seg.dtype)])
+    run_end = seg != nxt
+    target = jnp.where(run_end, seg, n_out)
+    zero = jac.jac_zero(f, (n_out + 1,))
+    out = jax.tree.map(
+        lambda buf, val: buf.at[..., target].set(val)[..., :n_out],
+        zero, scanned)
+    return out
+
+
 class MSMContext:
     """Holds the field adapter + host-side finishing for one group."""
 

@@ -129,9 +129,23 @@ def g1_uncompressed_be(fq: FieldParams, p) -> bytes:
 
 
 def g2_uncompressed_be(fq: FieldParams, p) -> bytes:
+    """Big-endian F2 reprs swap components (c1 || c0), matching
+    ffjavascript F2.toRprBE / Bellman G2Uncompressed so ceremony challenge
+    files and transcript hashes interoperate (reference
+    src/powersoftau_utils.js:124-155 toPtauPubKeyRpr via G2.toRprUncompressed).
+    """
     if p is None:
         return b"\0" * (4 * fq.n8)
     out = b""
-    for c in (p[0][0], p[0][1], p[1][0], p[1][1]):
+    for c in (p[0][1], p[0][0], p[1][1], p[1][0]):
         out += int(c).to_bytes(fq.n8, "big")
     return out
+
+
+def g2_u_to_ints(fq: FieldParams, b: bytes):
+    """Uncompressed BE G2 -> affine int pairs ((x0,x1),(y0,y1))."""
+    n8 = fq.n8
+    c = [int.from_bytes(b[i * n8:(i + 1) * n8], "big") for i in range(4)]
+    if all(v == 0 for v in c):
+        return None
+    return ((c[1], c[0]), (c[3], c[2]))

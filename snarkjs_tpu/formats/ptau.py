@@ -64,10 +64,12 @@ def g1_compressed_be(fq, p) -> bytes:
 
 
 def g2_compressed_be(fq, p) -> bytes:
+    """BE F2 reprs are component-swapped (c1 || c0) — Bellman G2Compressed /
+    wasmcurves g2m_LEMtoC convention."""
     if p is None:
         return bytes([0x40]) + b"\0" * (2 * fq.n8 - 1)
-    out = bytearray(int(p[0][0]).to_bytes(fq.n8, "big")
-                    + int(p[0][1]).to_bytes(fq.n8, "big"))
+    out = bytearray(int(p[0][1]).to_bytes(fq.n8, "big")
+                    + int(p[0][0]).to_bytes(fq.n8, "big"))
     # sign from y lexicographically: (y1, y0) "greater" per F2 gt convention
     y0, y1 = int(p[1][0]), int(p[1][1])
     half = fq.p >> 1
@@ -85,11 +87,7 @@ def g1_u_to_ints(fq, b: bytes):
 
 
 def g2_u_to_ints(fq, b: bytes):
-    n8 = fq.n8
-    c = [int.from_bytes(b[i * n8:(i + 1) * n8], "big") for i in range(4)]
-    if all(v == 0 for v in c):
-        return None
-    return ((c[0], c[1]), (c[2], c[3]))
+    return points.g2_u_to_ints(fq, b)
 
 
 # ---------------------------------------------------------------------------

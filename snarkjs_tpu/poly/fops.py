@@ -128,6 +128,81 @@ def pad_to(coefs, n: int):
     return jnp.concatenate([coefs, jnp.zeros((nl, n - m), coefs.dtype)], axis=1)
 
 
+def div_by_zerofier(ctx: FieldCtx, coefs, m: int, beta_plain: int):
+    """Exact division by (X^m - beta) (reference polynomial.js
+    divByZerofier :617-674).  Returns an array of the same length whose top
+    m coefficients are zero when the division is exact.
+
+    Recurrence q_k = (q_{k-m} - p_k) * beta^{-1} runs independently per
+    residue class mod m; along each chain it is the affine map
+    q_j = q_{j-1}*binv - p_j*binv, computed with a log-depth
+    affine-composition scan.
+    """
+    fp = ctx.fp
+    nl, total = coefs.shape
+    binv = pow(beta_plain % fp.p, fp.p - 2, fp.p)
+    binv_m = scalar_arr(ctx, binv)
+
+    nblk = -(-total // m)
+    pad = nblk * m - total
+    x = coefs
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((nl, pad), jnp.uint32)], axis=1)
+    # chains: index k = j*m + r  ->  (NL, nblk, m), scan over j (axis 1)
+    xb = x.reshape(nl, nblk, m)
+    a = fjnp.neg(ctx, fjnp.mont_mul(ctx, xb, binv_m[:, :, None]))
+    mm = jnp.broadcast_to(binv_m[:, :, None], a.shape)
+
+    def op(l, r):
+        lm, la = l
+        rm, ra = r
+        return (fjnp.mont_mul(ctx, lm, rm),
+                fjnp.add(ctx, fjnp.mont_mul(ctx, rm, la), ra))
+
+    _, q = jax.lax.associative_scan(op, (mm, a), axis=1)
+    return q.reshape(nl, nblk * m)[:, :total]
+
+
+def lagrange_interp_host(fp, xs, ys):
+    """Small Lagrange interpolation on host bigints (reference
+    polynomial.js:896-930).  Returns plain-int coefficient list."""
+    p = fp.p
+    n = len(xs)
+    coefs = [0] * n
+    for i in range(n):
+        # numerator poly prod_{j!=i} (X - x_j)
+        num = [1]
+        for j in range(n):
+            if j == i:
+                continue
+            new = [0] * (len(num) + 1)
+            for k, c in enumerate(num):
+                new[k + 1] = (new[k + 1] + c) % p
+                new[k] = (new[k] - c * xs[j]) % p
+            num = new
+        den = 1
+        for j in range(n):
+            if j != i:
+                den = den * (xs[i] - xs[j]) % p
+        scale = ys[i] * pow(den, p - 2, p) % p
+        for k in range(len(num)):
+            coefs[k] = (coefs[k] + num[k] * scale) % p
+    return coefs
+
+
+def zerofier_host(fp, roots):
+    """prod (X - r_i) expanded on host bigints (polynomial.js:932-948)."""
+    p = fp.p
+    coefs = [1]
+    for r in roots:
+        new = [0] * (len(coefs) + 1)
+        for k, c in enumerate(coefs):
+            new[k + 1] = (new[k + 1] + c) % p
+            new[k] = (new[k] - c * r) % p
+        coefs = new
+    return coefs
+
+
 def add_many(ctx: FieldCtx, terms, length: int):
     """sum of [(coefs, weight_mont_or_None), ...] padded to `length`."""
     acc = None

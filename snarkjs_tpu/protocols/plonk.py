@@ -704,3 +704,18 @@ def prove_files(zkey_path: str, wtns_path: str, **kw):
     zk = zkey_fmt.read_plonk_zkey(zkey_path)
     witness = wtns_fmt.read_wtns(wtns_path)
     return prove(zk, witness, **kw)
+
+
+def export_solidity_calldata(proof: dict, publics) -> str:
+    """reference src/plonk_exportsoliditycalldata.js:35-65."""
+    def p256(n):
+        return '"0x' + format(int(n), "064x") + '"'
+
+    parts = []
+    for key in ("A", "B", "C", "Z", "T1", "T2", "T3", "Wxi", "Wxiw"):
+        parts += [p256(proof[key][0]), p256(proof[key][1])]
+    for key in ("eval_a", "eval_b", "eval_c", "eval_s1", "eval_s2",
+                "eval_zw"):
+        parts.append(p256(proof[key]))
+    inputs = ",".join(p256(x) for x in publics)
+    return "[" + ",".join(parts) + "]" + f"[{inputs}]"

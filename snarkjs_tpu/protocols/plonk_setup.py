@@ -199,10 +199,8 @@ def setup_from_secrets(r1cs: R1cs, tau: int) -> bytes:
         raise ValueError("unknown curve for r1cs prime")
     fr, fq = cv.fr, cv.fq
     p = fr.p
-    frctx = fjnp.get_ctx(fr.name)
-    n_public = r1cs.n_public
 
-    con, adds, n_vars = process_constraints(fr, r1cs)
+    con, _, _ = process_constraints(fr, r1cs)
     cir_power = max((len(con) - 1).bit_length(), 3)
     domain = 1 << cir_power
     if tau % p == 0 or pow(tau, domain, p) == 1:
@@ -215,6 +213,67 @@ def setup_from_secrets(r1cs: R1cs, tau: int) -> bytes:
         for i, v in enumerate(vals_plain):
             e = (e + v * L_tau[i]) % p
         return hc.g1_mul(cv, cv.g1, e)
+
+    taui, t = [], 1
+    for _ in range(domain + 6):
+        taui.append(t)
+        t = t * tau % p
+    pt = _points_from_scalars(cv, taui)
+    ptau_lem = pcodec.g1_lem_to_bytes(fq, *pt)
+    return _write_plonk_zkey(cv, r1cs, commit, ptau_lem,
+                             hc.g2_mul(cv, cv.g2, tau))
+
+
+def setup_from_ptau(r1cs: R1cs, ptau) -> bytes:
+    """`plonk setup` from a prepared .ptau (reference src/plonk_setup.js:36):
+    vk commitments are MSMs over the Lagrange SRS points at the circuit
+    power; the zkey embeds n+6 monomial tau points and X_2 = tau*G2."""
+    from ..curves import msm as msm_mod
+    import jax.numpy as jnp
+
+    cv = ptau.curve
+    fr, fq = cv.fr, cv.fq
+    if r1cs.prime != fr.p:
+        raise ValueError("r1cs curve does not match powers of tau ceremony "
+                         "curve")
+    if 12 not in ptau.sections:
+        raise ValueError("Powers of tau is not prepared.")
+
+    con, _, _ = process_constraints(fr, r1cs)
+    cir_power = max((len(con) - 1).bit_length(), 3)
+    domain = 1 << cir_power
+    if cir_power > ptau.power:
+        raise ValueError("circuit too big for this power of tau ceremony")
+
+    s_g1 = 2 * fq.n8
+    off = (domain - 1) * s_g1
+    l_lem = ptau.sections[12][off:off + domain * s_g1]
+    lx, ly, linf = pcodec.g1_lem_from_bytes(fq, l_lem, domain)
+    fqctx = fjnp.get_ctx(fq.name)
+    g1m = msm_mod.MSMContext(fqctx, fq, extension=1)
+
+    def commit(vals_plain):
+        sc = fjnp.np_from_ints(fr, list(vals_plain))
+        res = g1m.run(jnp.asarray(lx), jnp.asarray(ly), jnp.asarray(linf),
+                      jnp.asarray(sc), c=8, nbits=fr.n8 * 8)
+        return msm_mod.host_jac_to_affine(fq, res, 1)
+
+    ptau_lem = ptau.sections[2][:(domain + 6) * s_g1]
+    x_2 = pcodec.g2_lem_to_ints(fq, ptau.sections[3][4 * fq.n8:8 * fq.n8],
+                                1)[0]
+    return _write_plonk_zkey(cv, r1cs, commit, ptau_lem, x_2)
+
+
+def _write_plonk_zkey(cv, r1cs: R1cs, commit, ptau_lem: bytes,
+                      x_2) -> bytes:
+    fr, fq = cv.fr, cv.fq
+    p = fr.p
+    frctx = fjnp.get_ctx(fr.name)
+    n_public = r1cs.n_public
+
+    con, adds, n_vars = process_constraints(fr, r1cs)
+    cir_power = max((len(con) - 1).bit_length(), 3)
+    domain = 1 << cir_power
 
     w = BinFileWriter("zkey", 1)
     s1 = SectionWriter()
@@ -270,13 +329,7 @@ def setup_from_secrets(r1cs: R1cs, tau: int) -> bytes:
     w.add_section(zkey_fmt.PLONK_LAGRANGE, lag_payload)
 
     # PTau monomial powers (sec 14): tau^i G for i < n+6
-    taui = []
-    t = 1
-    for _ in range(domain + 6):
-        taui.append(t)
-        t = t * tau % p
-    pt = _points_from_scalars(cv, taui)
-    w.add_section(zkey_fmt.PLONK_PTAU, pcodec.g1_lem_to_bytes(fq, *pt))
+    w.add_section(zkey_fmt.PLONK_PTAU, ptau_lem)
 
     # header (sec 2)
     h = SectionWriter()
@@ -294,7 +347,7 @@ def setup_from_secrets(r1cs: R1cs, tau: int) -> bytes:
     h.raw(pcodec.g1_lem_from_ints(
         fq, [vk["Qm"], vk["Ql"], vk["Qr"], vk["Qo"], vk["Qc"],
              vk["S1"], vk["S2"], vk["S3"]]))
-    h.raw(pcodec.g2_lem_from_ints(fq, [hc.g2_mul(cv, cv.g2, tau)]))
+    h.raw(pcodec.g2_lem_from_ints(fq, [x_2]))
     w.add_section(zkey_fmt.PLONK_HEADER, h.tobytes())
 
     return w.tobytes()
