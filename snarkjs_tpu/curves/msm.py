@@ -220,6 +220,14 @@ class MSMContext:
         px/py: affine coordinates as (NL, N) arrays (Fq) or 2-tuples (Fq2),
         Montgomery form; pinf: (N,) bool infinity mask; scalars: (NL, N).
         """
+        if fjnp._use_pallas():
+            # TPU path: fused Pallas suffix-scan Pippenger (curves/msm_tpu.py)
+            from . import msm_tpu
+            from .host_curve import curve_from_q
+
+            cv = curve_from_q(self.fp.p)
+            m = msm_tpu.get_msm(cv.name, "g1" if self.ext == 1 else "g2")
+            return m.run(px, py, pinf, scalars)
         if nbits is None:
             nbits = self.ctx.nl * LIMB_BITS
         n = scalars.shape[-1]

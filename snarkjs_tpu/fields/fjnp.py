@@ -93,10 +93,47 @@ def _use_unrolled() -> bool:
     env = os.environ.get("SNARKJS_TPU_UNROLL")
     if env is not None:
         return env not in ("0", "false")
+    # With the Pallas fast path active the non-Pallas code is only used for
+    # small/irregular shapes, where the loop path compiles far faster.
+    if _use_pallas():
+        return False
     try:
         return jax.default_backend() != "cpu"
     except Exception:
         return False
+
+
+def _use_pallas() -> bool:
+    """Route bulk field ops through Pallas TPU kernels (fpal).
+
+    The pure-XLA limb code is kept as the portable path (CPU tests, TPU
+    fallback via SNARKJS_TPU_PALLAS=0).  On this TPU backend the XLA paths
+    are not viable for the hot loops: unrolled limb chains compile
+    pathologically slowly and fori_loop chains run ~1000x off the roofline
+    (dynamic-update-slice copies per limb step).
+    """
+    import os
+
+    global _PALLAS
+    if _PALLAS is None:
+        env = os.environ.get("SNARKJS_TPU_PALLAS")
+        if env is not None:
+            _PALLAS = env not in ("0", "false")
+        else:
+            try:
+                _PALLAS = jax.default_backend() == "tpu"
+            except Exception:
+                _PALLAS = False
+    return _PALLAS
+
+
+_PALLAS = None
+
+
+def _pal(ctx):
+    from . import fpal
+
+    return fpal.get_pal(ctx.fp)
 
 
 UNROLL_LIMBS = None  # resolved lazily on first kernel build
@@ -199,17 +236,23 @@ def _cond_sub_p(ctx, limbs, carry):
 # ---------------- modular add / sub / neg ----------------
 
 def add(ctx: FieldCtx, a, b):
+    if _use_pallas():
+        return _pal(ctx).add(a, b)
     s, carry = _add_limbs(a, b)
     return _cond_sub_p(ctx, s, carry)
 
 
 def sub(ctx: FieldCtx, a, b):
+    if _use_pallas():
+        return _pal(ctx).sub(a, b)
     d, borrow = _sub_limbs(a, b)
     fixed, _ = _add_limbs(d, ctx.p(d))
     return jnp.where((borrow == 1)[None, ...], fixed, d)
 
 
 def neg(ctx: FieldCtx, a):
+    if _use_pallas():
+        return _pal(ctx).neg(a)
     z = jnp.zeros_like(a)
     return jnp.where(is_zero(ctx, a)[None, ...], z, _sub_limbs(ctx.p(a) + z, a)[0])
 
@@ -268,6 +311,8 @@ def _conv_columns(a, b, na, nb, out_cols):
 
 def mont_mul(ctx: FieldCtx, a, b):
     """Montgomery product a*b*R^-1 mod p.  Inputs/outputs in [0, p)."""
+    if _use_pallas():
+        return _pal(ctx).mont_mul(a, b)
     n = ctx.nl
     # t = a*b  (2n limbs after carry)
     t_cols = _conv_columns(a, b, n, n, 2 * n)
@@ -296,6 +341,10 @@ def to_mont(ctx: FieldCtx, a):
 
 
 def from_mont(ctx: FieldCtx, a):
+    if _use_pallas():
+        one_plain = jnp.zeros((ctx.nl,) + (1,) * (a.ndim - 1), dtype=U32)
+        one_plain = one_plain.at[0].set(1)
+        return _pal(ctx).mont_mul(a, one_plain)
     n = ctx.nl
     # mont_mul(a, 1): t = a
     m_cols = _conv_columns(a, ctx.pinv(a), n, n, n)
