@@ -13,6 +13,9 @@ import json
 import sys
 
 
+_VERBOSE = False
+
+
 def _log():
     import logging
 
@@ -21,7 +24,7 @@ def _log():
         h = logging.StreamHandler(sys.stderr)
         h.setFormatter(logging.Formatter("[%(levelname)s]  %(message)s"))
         logger.addHandler(h)
-    logger.setLevel(logging.INFO)
+    logger.setLevel(logging.DEBUG if _VERBOSE else logging.INFO)
     return logger
 
 
@@ -486,7 +489,7 @@ def main(argv=None) -> int:
                 opts[k] = v
             else:
                 opts[a[2:]] = True
-        elif a == "-v":
+        elif a in ("-v", "--verbose"):
             opts["verbose"] = True
         elif a.startswith("-e"):
             opts["entropy"] = a[2:] or True
@@ -511,6 +514,9 @@ def main(argv=None) -> int:
         print(f"unknown command: {' '.join(words)}", file=sys.stderr)
         return 1
     cmd, fn = best
+    if opts.get("verbose"):
+        global _VERBOSE
+        _VERBOSE = True
     args = words[len(cmd):]
     kwargs = {}
     if "name" in opts:

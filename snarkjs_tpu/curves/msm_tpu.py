@@ -285,6 +285,42 @@ def _suffix_excl(f, P, b3, axis=-1):
     return S
 
 
+def _reduce_lanes(f, P, b3, axis=-1):
+    """sum along `axis` via log-doubling suffix folds on a FIXED shape.
+
+    12x more adds than a halving tree, but every round runs at the same
+    array shape, so the whole reduction uses one compiled field kernel —
+    critical on this backend, where each new kernel/graph shape costs
+    minutes of compile time.
+    """
+    n = jax.tree.leaves(P)[0].shape[axis]
+    nd = jax.tree.leaves(P)[0].ndim
+
+    def shift_left(Q, k):
+        def sh(a, ident):
+            ax = axis % a.ndim
+            pad = jnp.broadcast_to(ident, a.shape[:ax] + (k,) + a.shape[ax + 1:])
+            return jnp.concatenate(
+                [jax.lax.slice_in_dim(a, k, n, axis=axis), pad], axis=axis)
+
+        idX = f.zero((1,) * (nd - 1))
+        idY = f.one((1,) * (nd - 1))
+        X, Y, Z = Q
+        if isinstance(X, tuple):
+            return (tuple(sh(x, ix) for x, ix in zip(X, idX)),
+                    tuple(sh(y, iy) for y, iy in zip(Y, idY)),
+                    tuple(sh(z, iz) for z, iz in zip(Z, idX)))
+        return (sh(X, idX), sh(Y, idY), sh(Z, idX))
+
+    S = P
+    k = 1
+    while k < n:
+        S = rcb.rcb_add(f, S, shift_left(S, k), b3)
+        k *= 2
+    return jax.tree.map(
+        lambda a: jax.lax.slice_in_dim(a, 0, 1, axis=axis), S)
+
+
 def _sel_ident(f, bitmask, P):
     """P where bitmask else the identity (0:1:0)."""
     X, Y, Z = P
@@ -369,7 +405,6 @@ class TpuMSM:
         scan = _scan_kernel(fq, self.b, ext, C)
         phantom_rows = jnp.asarray(self._phantom_rows_np())
         phantom_digits = jnp.arange(1, NB, dtype=jnp.int32)
-        cnt_bits = max(1, C.bit_length())
 
         @jax.jit
         def f0(px, py, pinf, scalars):
@@ -408,19 +443,32 @@ class TpuMSM:
         @jax.jit
         def f2(accs, tots, cnts):
             # accs/tots: (nro, nw, R); cnts: (nw, R)
+            # Window value = sum_r ACC[r] + sum_r cnt[r]*carry[r] where
+            # carry[r] = suffix of lane totals.  The second term rewrites as
+            # sum_r CS[r]*tot[r] with CS = exclusive prefix sums of cnt
+            # (integer weights < 2^16) via batched double-and-add.  All point
+            # math runs at the single fixed shape (nro, nw, R).
             b3w = _dev_b3(self.ctx, self.b, ext, 2)
-            Ptot = self._unflat(tots)
-            carr = _suffix_excl(self.f, Ptot, b3w, axis=-1)  # (., nw, R)
-            V = _tree_sum(self.f, self._unflat(accs), b3w, axis=-1)
-            # + sum_r cnt[r] * carr[r]  via bit-plane masked tree sums
-            for k in range(cnt_bits):
-                bit = ((cnts >> k) & 1) != 0                 # (nw, R)
-                masked = _sel_ident(self.f, bit, carr)
-                Sk = _tree_sum(self.f, masked, b3w, axis=-1)  # (., nw, 1)
-                for _ in range(k):
-                    Sk = rcb.rcb_add(self.f, Sk, Sk, b3w)
-                V = rcb.rcb_add(self.f, V, Sk, b3w)
-            return self._flat(V)[..., 0]                     # (nro, nw)
+            CS = jnp.cumsum(cnts, axis=-1) - cnts              # (nw, R)
+            Pt = self._unflat(tots)
+            acc = None
+            for k in range(LIMB_BITS - 1, -1, -1):
+                if acc is not None:
+                    acc = rcb.rcb_add(self.f, acc, acc, b3w)
+                bit = ((CS >> k) & 1) != 0
+                addend = _sel_ident(self.f, bit, Pt)
+                acc = (addend if acc is None
+                       else rcb.rcb_add(self.f, acc, addend, b3w))
+            both = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=-2),
+                self._unflat(accs), acc)                       # (., 2nw, R)
+            V = _reduce_lanes(self.f, both, b3w, axis=-1)      # (., 2nw, 1)
+            Vs = jax.tree.map(lambda a: a[..., 0], V)
+            V1 = jax.tree.map(lambda a: a[..., :nw], Vs)
+            V2 = jax.tree.map(lambda a: a[..., nw:], Vs)
+            b3s = _dev_b3(self.ctx, self.b, ext, 1)
+            W = rcb.rcb_add(self.f, V1, V2, b3s)
+            return self._flat(W)                               # (nro, nw)
 
         prog = (f0, f1, f2)
         self._prog_cache[key] = prog

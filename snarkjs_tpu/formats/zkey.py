@@ -56,6 +56,15 @@ def read_header(bf: BinFile):
     return protocol_id
 
 
+def zkey_protocol(path_or_bytes) -> str:
+    """Protocol name from the zkey header (reference src/zkey_utils.js:219)."""
+    bf = BinFile(path_or_bytes, "zkey") if isinstance(path_or_bytes, bytes) \
+        else BinFile.load(path_or_bytes, "zkey")
+    pid = read_header(bf)
+    return {GROTH16_PROTOCOL_ID: "groth16", PLONK_PROTOCOL_ID: "plonk",
+            FFLONK_PROTOCOL_ID: "fflonk"}[pid]
+
+
 def read_groth16_zkey(path_or_bytes) -> Groth16Zkey:
     bf = (BinFile.load(path_or_bytes, "zkey")
           if isinstance(path_or_bytes, str) else BinFile(path_or_bytes, "zkey"))

@@ -190,17 +190,35 @@ def wtns_check(r1cs: R1cs, witness: wtns_fmt.Witness, logger=None) -> bool:
 
 
 def wtns_debug(input_map: dict, wasm_path_or_bytes, sym_path=None,
-               logger=None, **options) -> bytes:
-    """Witness calculation with signal get/set logging hooks (reference
-    src/wtns_debug.js:29-72).  Returns the .wtns bytes; log lines go to
-    `logger` when given."""
+               logger=None, log_get=True, log_set=True, log_trigger=True,
+               **options) -> bytes:
+    """Witness calculation with signal get/set/trigger logging (reference
+    src/wtns_debug.js:29-72: options.logGetSignal/logSetSignal/
+    logStartComponent/logFinishComponent).  Returns the .wtns bytes; log
+    lines go to `logger` when given, signal ids resolved through the .sym
+    file when available."""
     from .wasm.witness_calculator import WitnessCalculator
 
     if isinstance(wasm_path_or_bytes, str):
         with open(wasm_path_or_bytes, "rb") as f:
             wasm_path_or_bytes = f.read()
-    wc = WitnessCalculator(wasm_path_or_bytes, sanity_check=True)
-    if logger and sym_path:
+
+    names = {}
+    if sym_path:
         syms = load_syms(sym_path)
-        logger.info(f"loaded {len(syms['varIdx2Name'])} symbols")
+        names = syms.get("varIdx2Name", {})
+
+    def nm(sig):
+        return names.get(sig, names.get(str(sig), str(sig)))
+
+    hooks = {}
+    if logger:
+        if log_get:
+            hooks["get"] = lambda s_, v: logger.info(f"GET {nm(s_)} --> {v}")
+        if log_set:
+            hooks["set"] = lambda s_, v: logger.info(f"SET {nm(s_)} <-- {v}")
+        if log_trigger:
+            hooks["start"] = lambda c: logger.info(f"START: {c}")
+            hooks["finish"] = lambda c: logger.info(f"FINISH: {c}")
+    wc = WitnessCalculator(wasm_path_or_bytes, sanity_check=True, hooks=hooks)
     return wc.calculate_wtns_bin(input_map, sanity_check=True)

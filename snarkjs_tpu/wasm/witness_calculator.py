@@ -35,9 +35,14 @@ def flat_array(v):
 
 
 class WitnessCalculator:
-    def __init__(self, wasm_bytes: bytes, sanity_check: bool = False):
+    def __init__(self, wasm_bytes: bytes, sanity_check: bool = False,
+                 hooks: dict | None = None):
+        """hooks (reference src/wtns_debug.js:29-72 logging options): dict
+        with optional callables 'get'(sig_id, value), 'set'(sig_id, value),
+        'start'(comp_id), 'finish'(comp_id)."""
         self.err_parts = []
         self.msg_parts = []
+        self.hooks = hooks or {}
         m = interp.Module(wasm_bytes)
         self._mod = m
 
@@ -50,10 +55,10 @@ class WitnessCalculator:
             # circom1 runtime imports
             ("runtime", "error"): self._c1_error,
             ("runtime", "log"): lambda a: None,
-            ("runtime", "logGetSignal"): lambda s, v: None,
-            ("runtime", "logSetSignal"): lambda s, v: None,
-            ("runtime", "logStartComponent"): lambda c: None,
-            ("runtime", "logFinishComponent"): lambda c: None,
+            ("runtime", "logGetSignal"): self._log_get,
+            ("runtime", "logSetSignal"): self._log_set,
+            ("runtime", "logStartComponent"): self._log_start,
+            ("runtime", "logFinishComponent"): self._log_finish,
             ("env", "memory"): None,
         }
         self.inst = interp.Instance(m, host)
@@ -84,6 +89,26 @@ class WitnessCalculator:
             raise ValueError(f"Unsupported circom version: {self.version}")
 
     # ---- host imports ----
+    def _log_get(self, sig, pval):
+        h = self.hooks.get("get")
+        if h:
+            h(sig, self._c1_get_fr(pval))
+
+    def _log_set(self, sig, pval):
+        h = self.hooks.get("set")
+        if h:
+            h(sig, self._c1_get_fr(pval))
+
+    def _log_start(self, comp):
+        h = self.hooks.get("start")
+        if h:
+            h(comp)
+
+    def _log_finish(self, comp):
+        h = self.hooks.get("finish")
+        if h:
+            h(comp)
+
     def _exception(self, code):
         errs = {1: "Signal not found. ", 2: "Too many signals set. ",
                 3: "Signal already set. ", 4: "Assert Failed. ",

@@ -71,3 +71,44 @@ def test_plonk_setup_prove_verify():
     proof, publics = plonk.prove(zk, wit)
     vk = plonk.export_verification_key(zk)
     assert plonk.verify(vk, publics, proof)
+
+
+def test_plonk_setup_sections_bit_identical():
+    """Regenerate the zkey from the fixture r1cs + the fixture's own
+    embedded monomial SRS (Lagrange basis recovered by group IFFT, the
+    preparePhase2 computation): every section including the header with its
+    Q/sigma commitments must be bit-identical to the reference fixture
+    (reference src/plonk_setup.js:36-434)."""
+    from snarkjs_tpu.ceremony import ptau_ops
+    from snarkjs_tpu.formats import points as pcodec
+    from snarkjs_tpu.formats import zkey as zkey_fmt
+    from snarkjs_tpu.formats.binfile import BinFile
+    from snarkjs_tpu.formats.r1cs import read_r1cs
+    from snarkjs_tpu.protocols import plonk_setup
+
+    ref_path = os.path.join(REF, "circuit.zkey")
+    ref = zkey_fmt.read_plonk_zkey(ref_path)
+    cv = ref.curve
+    fq = cv.fq
+    r1cs = read_r1cs(os.path.join(REF, "circuit.r1cs"))
+    domain = ref.domain_size
+    s_g1 = 2 * fq.n8
+    tau_lem = pcodec.g1_lem_to_bytes(fq, *ref.ptau)
+    lag_lem = ptau_ops.group_lagrange_lem(
+        cv, tau_lem[:domain * s_g1], domain, g2=False)
+
+    class _FakePtau:
+        curve = cv
+        power = domain.bit_length() - 1
+        sections = {
+            2: tau_lem,
+            3: b"\x00" * (4 * fq.n8) + pcodec.g2_lem_from_ints(fq, [ref.x_2]),
+            12: b"\x00" * ((domain - 1) * s_g1) + lag_lem,
+        }
+
+    data = plonk_setup.setup_from_ptau(r1cs, _FakePtau())
+    got = BinFile(data, "zkey")
+    refbf = BinFile.load(ref_path, "zkey")
+    for sid in range(2, 15):
+        assert got.read_section(sid) == refbf.read_section(sid), \
+            f"plonk zkey section {sid} differs from the reference fixture"
