@@ -172,6 +172,133 @@ def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
     return run
 
 
+CH = 128          # combine-kernel chunk width (lanes)
+NSTEP = R_LANES // CH
+
+
+@functools.lru_cache(maxsize=None)
+def _combine_kernel(fp: FieldParams, b, ext: int, nw: int):
+    """K2: fold per-lane MSM outputs into per-window partials.
+
+    Inputs (rearranged to chunk-major on the XLA side):
+      acc:(NSTEP, nro, nw, CH)  masked accumulators per lane
+      tot:(NSTEP, nro, nw, CH)  lane totals
+      cs :(NSTEP, nw, CH)       exclusive prefix sums of mask counts
+    Output (2, nro, nw, CH): [0] = sum of accs, [1] = sum of CS[r]*tot[r]
+    (the cross-lane carry term, see TpuMSM), both still spread over CH
+    lanes — the final log2(CH) halvings happen on the XLA side.
+
+    The grid is (NSTEP, LIMB_BITS): the inner dimension walks the bits of
+    the 16-bit double-and-add so each grid step contains only ~3 complete
+    additions — Mosaic compile time is superlinear in straight-line length,
+    so a 31-addition body is unshippable while this shape compiles in
+    seconds and revisits the same input block 16 times at zero DMA cost.
+    """
+    nl = fp.nl
+    if ext == 1:
+        b3_l = fpal._limbs(fp.to_mont(3 * b % fp.p), nl)
+    else:
+        b3_l = tuple(fpal._limbs(fp.to_mont(3 * v % fp.p), nl) for v in b)
+    one_l = [int(x) for x in fpal._limbs(fp.one_mont, nl)]
+    nro = 3 * nl * ext
+
+    def kernel(acc_ref, tot_ref, cs_ref, o_ref, v_ref, w_ref, dd_ref, *fsc):
+        kf = fpal.KernelField(fp, (nw, CH), fsc)
+        f = kf if ext == 1 else fpal.KernelField2(kf)
+        fw = _KF1(f, b3_l)
+        step = pl.program_id(0)
+        k = pl.program_id(1)          # bit index: processes bit 15-k
+
+        def set_ident(ref):
+            ref[...] = jnp.zeros(ref.shape, U32)
+            for i in range(nl):
+                if one_l[i]:
+                    ref[nl * ext + i] = jnp.full(
+                        ref.shape[1:], one_l[i], dtype=U32)
+
+        def unpack(v, base):
+            if ext == 1:
+                return v[base:base + nl]
+            return (v[base:base + nl], v[base + nl:base + 2 * nl])
+
+        def pt(v):
+            return (unpack(v, 0), unpack(v, nl * ext), unpack(v, 2 * nl * ext))
+
+        def rows_of(P):
+            X, Y, Z = P
+            parts = ([X, Y, Z] if ext == 1
+                     else [X[0], X[1], Y[0], Y[1], Z[0], Z[1]])
+            return jnp.concatenate(parts, axis=0)
+
+        @pl.when((step == 0) & (k == 0))
+        def _init():
+            set_ident(v_ref)
+            set_ident(w_ref)
+
+        @pl.when(k == 0)
+        def _chunk_start():
+            # V += acc chunk; dd restarts for this chunk
+            A = pt(acc_ref[0])
+            v_ref[...] = rows_of(rcb.rcb_add(fw, pt(v_ref[...]), A, _B3))
+            set_ident(dd_ref)
+
+        # one double-and-add bit step: dd = 2*dd + (bit ? tot : ident)
+        cs = cs_ref[0]
+        T = pt(tot_ref[0])
+        bit = ((cs >> (LIMB_BITS - 1 - k)) & 1) != 0
+        ident_y = [jnp.full((nw, CH), v, U32) if v else
+                   jnp.zeros((nw, CH), U32) for v in one_l]
+        zero16 = jnp.zeros((nl, nw, CH), U32)
+        one16 = jnp.stack(ident_y)
+
+        def sel(e, id_rows):
+            if ext == 1:
+                return jnp.where(bit[None], e, id_rows)
+            return (jnp.where(bit[None], e[0], id_rows[0]),
+                    jnp.where(bit[None], e[1], id_rows[1]))
+
+        if ext == 1:
+            addend = (sel(T[0], zero16), sel(T[1], one16), sel(T[2], zero16))
+        else:
+            addend = (sel(T[0], (zero16, zero16)),
+                      sel(T[1], (one16, zero16)),
+                      sel(T[2], (zero16, zero16)))
+        dd = rcb.rcb_add(fw, pt(dd_ref[...]), pt(dd_ref[...]), _B3)
+        dd = rcb.rcb_add(fw, dd, addend, _B3)
+        dd_ref[...] = rows_of(dd)
+
+        @pl.when(k == LIMB_BITS - 1)
+        def _chunk_end():
+            w_ref[...] = rows_of(
+                rcb.rcb_add(fw, pt(w_ref[...]), pt(dd_ref[...]), _B3))
+
+        @pl.when((step == NSTEP - 1) & (k == LIMB_BITS - 1))
+        def _flush():
+            o_ref[0] = v_ref[...]
+            o_ref[1] = w_ref[...]
+
+    def run(acc_cm, tot_cm, cs_cm):
+        spec_p = pl.BlockSpec((1, nro, nw, CH), lambda i, j: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        spec_c = pl.BlockSpec((1, nw, CH), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        spec_out = pl.BlockSpec((2, nro, nw, CH), lambda i, j: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(NSTEP, LIMB_BITS),
+            in_specs=[spec_p, spec_p, spec_c],
+            out_specs=spec_out,
+            out_shape=jax.ShapeDtypeStruct((2, nro, nw, CH), U32),
+            scratch_shapes=[pltpu.VMEM((nro, nw, CH), U32),
+                            pltpu.VMEM((nro, nw, CH), U32),
+                            pltpu.VMEM((nro, nw, CH), U32)]
+            + fpal.KernelField.scratch_shapes(fp, (nw, CH)),
+        )(acc_cm, tot_cm, cs_cm)
+
+    return run
+
+
 # --------------------------------------------------------------- XLA glue
 
 
@@ -440,35 +567,40 @@ class TpuMSM:
             tot = out[1].reshape(nro, R_LANES)
             return acc, tot, cnt
 
+        combine = _combine_kernel(fq, self.b, ext, nw)
+
         @jax.jit
         def f2(accs, tots, cnts):
             # accs/tots: (nro, nw, R); cnts: (nw, R)
             # Window value = sum_r ACC[r] + sum_r cnt[r]*carry[r] where
-            # carry[r] = suffix of lane totals.  The second term rewrites as
-            # sum_r CS[r]*tot[r] with CS = exclusive prefix sums of cnt
-            # (integer weights < 2^16) via batched double-and-add.  All point
-            # math runs at the single fixed shape (nro, nw, R).
+            # carry[r] = suffix of lane totals; the second term rewrites as
+            # sum_r CS[r]*tot[r] with CS = exclusive prefix sums of cnt.
+            # K2 folds both over lanes; only log2(CH) halvings remain here.
             b3w = _dev_b3(self.ctx, self.b, ext, 2)
-            CS = jnp.cumsum(cnts, axis=-1) - cnts              # (nw, R)
-            Pt = self._unflat(tots)
-            acc = None
-            for k in range(LIMB_BITS - 1, -1, -1):
-                if acc is not None:
-                    acc = rcb.rcb_add(self.f, acc, acc, b3w)
-                bit = ((CS >> k) & 1) != 0
-                addend = _sel_ident(self.f, bit, Pt)
-                acc = (addend if acc is None
-                       else rcb.rcb_add(self.f, acc, addend, b3w))
-            both = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], axis=-2),
-                self._unflat(accs), acc)                       # (., 2nw, R)
-            V = _reduce_lanes(self.f, both, b3w, axis=-1)      # (., 2nw, 1)
-            Vs = jax.tree.map(lambda a: a[..., 0], V)
+            CS = (jnp.cumsum(cnts, axis=-1) - cnts).astype(jnp.int32)
+            acc_cm = jnp.moveaxis(
+                accs.reshape(nro, nw, NSTEP, CH), 2, 0)
+            tot_cm = jnp.moveaxis(
+                tots.reshape(nro, nw, NSTEP, CH), 2, 0)
+            cs_cm = jnp.moveaxis(CS.reshape(nw, NSTEP, CH), 1, 0)
+            out = combine(acc_cm, tot_cm, cs_cm)     # (2, nro, nw, CH)
+            P = self._unflat(out.reshape(2 * nro, nw, CH)
+                             .reshape(2, nro, nw, CH)
+                             .transpose(1, 0, 2, 3)
+                             .reshape(nro, 2 * nw, CH))
+            ch = CH
+            while ch > 1:
+                half = ch // 2
+                lo = jax.tree.map(lambda a: a[..., :half], P)
+                hi = jax.tree.map(lambda a: a[..., half:ch], P)
+                P = rcb.rcb_add(self.f, lo, hi, b3w)
+                ch = half
+            Vs = jax.tree.map(lambda a: a[..., 0], P)    # (., 2nw)
             V1 = jax.tree.map(lambda a: a[..., :nw], Vs)
             V2 = jax.tree.map(lambda a: a[..., nw:], Vs)
             b3s = _dev_b3(self.ctx, self.b, ext, 1)
             W = rcb.rcb_add(self.f, V1, V2, b3s)
-            return self._flat(W)                               # (nro, nw)
+            return self._flat(W)                         # (nro, nw)
 
         prog = (f0, f1, f2)
         self._prog_cache[key] = prog
