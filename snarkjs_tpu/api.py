@@ -31,6 +31,13 @@ def _load_json(obj):
     return obj
 
 
+def _load_bytes(obj):
+    if isinstance(obj, str):
+        with open(obj, "rb") as f:
+            return f.read()
+    return obj
+
+
 class _Groth16(_NS):
     @staticmethod
     def prove(zkey, wtns, **kw):
@@ -165,8 +172,11 @@ class _PowersOfTau(_NS):
     @staticmethod
     def new_accumulator(curve, power, filename=None):
         from .ceremony import ptau_ops
+        from .curves import host_curve as hc
 
-        pt = ptau_ops.new_accumulator(curve, power)
+        if isinstance(curve, str):
+            curve = hc.get_curve(curve)
+        pt = ptau_ops.new_accumulator(curve, int(power))
         if filename:
             pt.save(filename)
         return pt
@@ -178,7 +188,7 @@ class _PowersOfTau(_NS):
 
         if isinstance(old, (str, bytes)):
             old = ptau_fmt.read_ptau(old)
-        out = ptau_ops.contribute(old, **kw)
+        out, _chash = ptau_ops.contribute(old, **kw)
         if new:
             out.save(new)
         return out
@@ -190,7 +200,10 @@ class _PowersOfTau(_NS):
 
         if isinstance(old, (str, bytes)):
             old = ptau_fmt.read_ptau(old)
-        out = ptau_ops.beacon(old, beacon_hash, num_iterations_exp, **kw)
+        if isinstance(beacon_hash, str):
+            beacon_hash = ptau_ops.parse_beacon_hash(beacon_hash)
+        out, _chash = ptau_ops.beacon(old, beacon_hash,
+                                      int(num_iterations_exp), **kw)
         if new:
             out.save(new)
         return out
@@ -309,20 +322,22 @@ class _Zkey(_NS):
     def contribute(old, new=None, name="", entropy=None, logger=None):
         from .ceremony import zkey_mpc
 
-        data = zkey_mpc.contribute(old, name=name, entropy=entropy,
-                                   logger=logger)
+        data, _chash = zkey_mpc.contribute(_load_bytes(old), name=name,
+                                           entropy=entropy)
         if new:
             with open(new, "wb") as f:
                 f.write(data)
         return data
 
     @staticmethod
-    def beacon(old, new=None, name="", beacon_hash=None, num_iterations=10,
+    def beacon(old, beacon_hash, num_iterations_exp=10, new=None, name="",
                logger=None):
-        from .ceremony import zkey_mpc
+        from .ceremony import ptau_ops, zkey_mpc
 
-        data = zkey_mpc.beacon(old, name=name, beacon_hash=beacon_hash,
-                               num_iterations=num_iterations, logger=logger)
+        if isinstance(beacon_hash, str):
+            beacon_hash = ptau_ops.parse_beacon_hash(beacon_hash)
+        data, _chash = zkey_mpc.beacon(_load_bytes(old), beacon_hash,
+                                       int(num_iterations_exp), name=name)
         if new:
             with open(new, "wb") as f:
                 f.write(data)
@@ -331,15 +346,25 @@ class _Zkey(_NS):
     @staticmethod
     def verify_from_r1cs(r1cs, ptau, zkey, logger=None):
         from .ceremony import zkey_mpc
+        from .formats import ptau as ptau_fmt
+        from .formats.r1cs import read_r1cs
 
-        return zkey_mpc.verify_from_r1cs(r1cs, ptau, zkey, logger=logger)
+        if isinstance(r1cs, (str, bytes)):
+            r1cs = read_r1cs(r1cs)
+        if isinstance(ptau, (str, bytes)):
+            ptau = ptau_fmt.read_ptau(ptau)
+        return zkey_mpc.verify_from_r1cs(r1cs, ptau, _load_bytes(zkey),
+                                         logger=logger)
 
     @staticmethod
     def verify_from_init(init_zkey, ptau, zkey, logger=None):
         from .ceremony import zkey_mpc
+        from .formats import ptau as ptau_fmt
 
-        return zkey_mpc.verify_from_init(init_zkey, ptau, zkey,
-                                         logger=logger)
+        if isinstance(ptau, (str, bytes)):
+            ptau = ptau_fmt.read_ptau(ptau)
+        return zkey_mpc.verify_from_init(_load_bytes(init_zkey), ptau,
+                                         _load_bytes(zkey), logger=logger)
 
     @staticmethod
     def export_verification_key(zkey, out=None):

@@ -99,9 +99,6 @@ def test_rcb_g2_bn254():
 
     A = [a for a, _ in cases]
     B = [b for _, b in cases]
-    P1 = ((mk(A, 0, 0, 0), mk(A, 0, 1, 0)),
-          (mk(A, 1, 0, 1), mk(A, 1, 1, 0)),
-          (f2.one((len(cases),))[0], f2.zero((len(cases),))[0]))
     # Z1 = 1 for all (no identity among A)
     one = _fq_elems(fp, [1] * len(cases))
     zero = _fq_elems(fp, [0] * len(cases))
