@@ -7,30 +7,38 @@ measurement on TPU v5e:
   * XLA's radix sort is fast (~0.4 ms for 2^20 int32) and row-major gathers
     are serviceable, while column gathers, wide-payload gathers and scatters
     are pathological (100-1000x off bandwidth).  So the only data-movement
-    ops used are ONE argsort + ONE row gather per window.
+    ops used are ONE argsort + row gathers.
   * Per-lane dynamic indexing does not exist on the VPU, so classic bucket
     scatter/accumulate is replaced by the suffix-sum identity
 
         sum_b b*B_b = sum_{t=1}^{nb-1} SuffixSum(first_index(t)).
 
-    To avoid even the nb-position gather of suffix values, one *phantom*
-    generator point is appended per digit value 1..nb-1, so every digit
-    occurs and "first_index(t)" becomes exactly the set of first-occurrence
-    positions — a 0/1 mask computable by comparing sorted neighbors.  The
-    kernel then accumulates masked suffix values on the fly, and the host
-    subtracts the known phantom contribution sum_b b*G = nb(nb-1)/2 * G.
-  * The scan kernel (K1) owns everything per window: lanes scan contiguous
-    chunks of the sorted order high->low, the running point and the masked
-    accumulator live in VMEM scratch, and the addition is the complete RCB
-    formula (curves/rcb.py) — branch-free, so doubling/identity/duplicate
-    lanes cost nothing extra.  Cross-lane carries are fixed up with a
-    log-depth batched pass over all windows at once, weighted by per-lane
-    mask counts via bit-plane decomposition.
+    One *phantom* generator point is appended per digit value 1..nb-1 so
+    every digit occurs, first_index(t) = searchsorted(sorted_digits, t),
+    and the host subtracts the known phantom contribution
+    sum_b b*G = nb(nb-1)/2 * G.
+  * The scan kernel (K1) runs one complete mixed add (RCB formulas,
+    curves/rcb.py — branch-free, so doubling/identity/duplicate lanes cost
+    nothing) per point per window: lanes scan contiguous chunks of the
+    sorted order high->low and the running suffix point is streamed back to
+    HBM.  That single madd per element is the whole per-point device cost.
+  * The nb-1 first-occurrence suffix values are then picked up with a
+    row gather and tree-summed (nb-1 extra adds — the classic Pippenger
+    bucket-combination term).  Cross-lane carries (each lane's suffix is
+    local to its chunk) are fixed by adding the suffix of later lanes'
+    totals, computed with a log-doubling pass over the 4096 lane totals.
+  * All nw windows run inside ONE jit (lax.map), so there are no per-window
+    host round trips; the only host transfer is the final (nro, nw) window
+    partials, combined on host bigints exactly like the reference combines
+    per-chunk WASM results on the JS side.
 
 Window size c = 16 bits == one scalar limb, so digits are just the scalar
-limbs (nw = 16 windows for a 254/255-bit field).  Window combination (16
-doublings + add per window) happens on host bigints, exactly like the
-reference combines per-chunk WASM results on the JS side.
+limbs (nw = 16 windows for a 254/255-bit field).
+
+Cost model per window: n mixed adds (13 Fq muls each) + nb tree adds, so a
+2^20 G1 MSM costs ~16 * 1.06 * 2^20 * 13 = 232M Fq muls -> ~0.5 s at the
+measured 441M muls/s VPU ceiling, ~2x the snarkjs WASM engine per chip
+before sharding.
 """
 
 from __future__ import annotations
@@ -86,12 +94,11 @@ _B3 = _B3Sentinel()
 
 @functools.lru_cache(maxsize=None)
 def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
-    """K1: per-lane suffix scan + masked accumulator.
+    """K1: per-lane suffix scan of mixed adds.
 
     Input  xy:(C, 2*nl*ext, SB, LN) sorted affine points, column-major
-           mk:(C, SB, LN)           first-occurrence mask (u32 0/1)
-    Output (2, 3*nl*ext, SB, LN): [0] = masked accumulator ACC per lane,
-                                  [1] = full lane total TOT.
+    Output st:(C, 3*nl*ext, SB, LN) running suffix point after each step
+           (st[c] = sum of this lane's elements c..C-1).
     """
     nl = fp.nl
     if ext == 1:
@@ -102,7 +109,7 @@ def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
     nr_in = 2 * nl * ext
     nro = 3 * nl * ext
 
-    def kernel(xy_ref, mk_ref, o_ref, st_ref, ac_ref, *fsc):
+    def kernel(xy_ref, o_ref, st_ref, *fsc):
         kf = fpal.KernelField(fp, (SB, LN), fsc)
         f = kf if ext == 1 else fpal.KernelField2(kf)
         fw = _KF1(f, b3_l)
@@ -110,12 +117,11 @@ def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
 
         @pl.when(c == 0)
         def _init():
-            for ref in (st_ref, ac_ref):
-                ref[...] = jnp.zeros(ref.shape, U32)
-                for i in range(nl):
-                    if one_l[i]:
-                        ref[nl * ext + i] = jnp.full(
-                            ref.shape[1:], one_l[i], dtype=U32)
+            st_ref[...] = jnp.zeros(st_ref.shape, U32)
+            for i in range(nl):
+                if one_l[i]:
+                    st_ref[nl * ext + i] = jnp.full(
+                        st_ref.shape[1:], one_l[i], dtype=U32)
 
         def unpack(v, base):
             if ext == 1:
@@ -138,163 +144,25 @@ def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
         new_st = rcb.rcb_madd(fw, st, x2, y2, _B3)
         st_rows = rows_of(new_st)
         st_ref[...] = st_rows
+        o_ref[0] = st_rows
 
-        acc = pt(ac_ref[...])
-        added = rcb.rcb_add(fw, acc, new_st, _B3)
-        mask = mk_ref[0] != 0
-        acc_rows = jnp.where(mask[None], rows_of(added), ac_ref[...])
-        ac_ref[...] = acc_rows
-
-        @pl.when(c == C - 1)
-        def _flush():
-            o_ref[0] = ac_ref[...]
-            o_ref[1] = st_ref[...]
-
-    def run(xyT, mkT):
+    def run(xyT):
         spec_xy = pl.BlockSpec((1, nr_in, SB, LN),
                                lambda i: (C - 1 - i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-        spec_mk = pl.BlockSpec((1, SB, LN), lambda i: (C - 1 - i, 0, 0),
-                               memory_space=pltpu.VMEM)
-        spec_out = pl.BlockSpec((2, nro, SB, LN), lambda i: (0, 0, 0, 0),
+        spec_out = pl.BlockSpec((1, nro, SB, LN),
+                                lambda i: (C - 1 - i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             grid=(C,),
-            in_specs=[spec_xy, spec_mk],
+            in_specs=[spec_xy],
             out_specs=spec_out,
-            out_shape=jax.ShapeDtypeStruct((2, nro, SB, LN), U32),
-            scratch_shapes=[pltpu.VMEM((nro, SB, LN), U32),
-                            pltpu.VMEM((nro, SB, LN), U32)]
+            out_shape=jax.ShapeDtypeStruct((C, nro, SB, LN), U32),
+            scratch_shapes=[pltpu.VMEM((nro, SB, LN), U32)]
             + fpal.KernelField.scratch_shapes(fp, (SB, LN)),
-        )(xyT, mkT)
-
-    return run
-
-
-CH = 128          # combine-kernel chunk width (lanes)
-NSTEP = R_LANES // CH
-
-
-@functools.lru_cache(maxsize=None)
-def _combine_kernel(fp: FieldParams, b, ext: int, nw: int):
-    """K2: fold per-lane MSM outputs into per-window partials.
-
-    Inputs (rearranged to chunk-major on the XLA side):
-      acc:(NSTEP, nro, nw, CH)  masked accumulators per lane
-      tot:(NSTEP, nro, nw, CH)  lane totals
-      cs :(NSTEP, nw, CH)       exclusive prefix sums of mask counts
-    Output (2, nro, nw, CH): [0] = sum of accs, [1] = sum of CS[r]*tot[r]
-    (the cross-lane carry term, see TpuMSM), both still spread over CH
-    lanes — the final log2(CH) halvings happen on the XLA side.
-
-    The grid is (NSTEP, LIMB_BITS): the inner dimension walks the bits of
-    the 16-bit double-and-add so each grid step contains only ~3 complete
-    additions — Mosaic compile time is superlinear in straight-line length,
-    so a 31-addition body is unshippable while this shape compiles in
-    seconds and revisits the same input block 16 times at zero DMA cost.
-    """
-    nl = fp.nl
-    if ext == 1:
-        b3_l = fpal._limbs(fp.to_mont(3 * b % fp.p), nl)
-    else:
-        b3_l = tuple(fpal._limbs(fp.to_mont(3 * v % fp.p), nl) for v in b)
-    one_l = [int(x) for x in fpal._limbs(fp.one_mont, nl)]
-    nro = 3 * nl * ext
-
-    def kernel(acc_ref, tot_ref, cs_ref, o_ref, v_ref, w_ref, dd_ref, *fsc):
-        kf = fpal.KernelField(fp, (nw, CH), fsc)
-        f = kf if ext == 1 else fpal.KernelField2(kf)
-        fw = _KF1(f, b3_l)
-        step = pl.program_id(0)
-        k = pl.program_id(1)          # bit index: processes bit 15-k
-
-        def set_ident(ref):
-            ref[...] = jnp.zeros(ref.shape, U32)
-            for i in range(nl):
-                if one_l[i]:
-                    ref[nl * ext + i] = jnp.full(
-                        ref.shape[1:], one_l[i], dtype=U32)
-
-        def unpack(v, base):
-            if ext == 1:
-                return v[base:base + nl]
-            return (v[base:base + nl], v[base + nl:base + 2 * nl])
-
-        def pt(v):
-            return (unpack(v, 0), unpack(v, nl * ext), unpack(v, 2 * nl * ext))
-
-        def rows_of(P):
-            X, Y, Z = P
-            parts = ([X, Y, Z] if ext == 1
-                     else [X[0], X[1], Y[0], Y[1], Z[0], Z[1]])
-            return jnp.concatenate(parts, axis=0)
-
-        @pl.when((step == 0) & (k == 0))
-        def _init():
-            set_ident(v_ref)
-            set_ident(w_ref)
-
-        @pl.when(k == 0)
-        def _chunk_start():
-            # V += acc chunk; dd restarts for this chunk
-            A = pt(acc_ref[0])
-            v_ref[...] = rows_of(rcb.rcb_add(fw, pt(v_ref[...]), A, _B3))
-            set_ident(dd_ref)
-
-        # one double-and-add bit step: dd = 2*dd + (bit ? tot : ident)
-        cs = cs_ref[0]
-        T = pt(tot_ref[0])
-        bit = ((cs >> (LIMB_BITS - 1 - k)) & 1) != 0
-        ident_y = [jnp.full((nw, CH), v, U32) if v else
-                   jnp.zeros((nw, CH), U32) for v in one_l]
-        zero16 = jnp.zeros((nl, nw, CH), U32)
-        one16 = jnp.stack(ident_y)
-
-        def sel(e, id_rows):
-            if ext == 1:
-                return jnp.where(bit[None], e, id_rows)
-            return (jnp.where(bit[None], e[0], id_rows[0]),
-                    jnp.where(bit[None], e[1], id_rows[1]))
-
-        if ext == 1:
-            addend = (sel(T[0], zero16), sel(T[1], one16), sel(T[2], zero16))
-        else:
-            addend = (sel(T[0], (zero16, zero16)),
-                      sel(T[1], (one16, zero16)),
-                      sel(T[2], (zero16, zero16)))
-        dd = rcb.rcb_add(fw, pt(dd_ref[...]), pt(dd_ref[...]), _B3)
-        dd = rcb.rcb_add(fw, dd, addend, _B3)
-        dd_ref[...] = rows_of(dd)
-
-        @pl.when(k == LIMB_BITS - 1)
-        def _chunk_end():
-            w_ref[...] = rows_of(
-                rcb.rcb_add(fw, pt(w_ref[...]), pt(dd_ref[...]), _B3))
-
-        @pl.when((step == NSTEP - 1) & (k == LIMB_BITS - 1))
-        def _flush():
-            o_ref[0] = v_ref[...]
-            o_ref[1] = w_ref[...]
-
-    def run(acc_cm, tot_cm, cs_cm):
-        spec_p = pl.BlockSpec((1, nro, nw, CH), lambda i, j: (i, 0, 0, 0),
-                              memory_space=pltpu.VMEM)
-        spec_c = pl.BlockSpec((1, nw, CH), lambda i, j: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
-        spec_out = pl.BlockSpec((2, nro, nw, CH), lambda i, j: (0, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            kernel,
-            grid=(NSTEP, LIMB_BITS),
-            in_specs=[spec_p, spec_p, spec_c],
-            out_specs=spec_out,
-            out_shape=jax.ShapeDtypeStruct((2, nro, nw, CH), U32),
-            scratch_shapes=[pltpu.VMEM((nro, nw, CH), U32),
-                            pltpu.VMEM((nro, nw, CH), U32),
-                            pltpu.VMEM((nro, nw, CH), U32)]
-            + fpal.KernelField.scratch_shapes(fp, (nw, CH)),
-        )(acc_cm, tot_cm, cs_cm)
+            interpret=jax.default_backend() != "tpu",
+        )(xyT)
 
     return run
 
@@ -412,59 +280,6 @@ def _suffix_excl(f, P, b3, axis=-1):
     return S
 
 
-def _reduce_lanes(f, P, b3, axis=-1):
-    """sum along `axis` via log-doubling suffix folds on a FIXED shape.
-
-    12x more adds than a halving tree, but every round runs at the same
-    array shape, so the whole reduction uses one compiled field kernel —
-    critical on this backend, where each new kernel/graph shape costs
-    minutes of compile time.
-    """
-    n = jax.tree.leaves(P)[0].shape[axis]
-    nd = jax.tree.leaves(P)[0].ndim
-
-    def shift_left(Q, k):
-        def sh(a, ident):
-            ax = axis % a.ndim
-            pad = jnp.broadcast_to(ident, a.shape[:ax] + (k,) + a.shape[ax + 1:])
-            return jnp.concatenate(
-                [jax.lax.slice_in_dim(a, k, n, axis=axis), pad], axis=axis)
-
-        idX = f.zero((1,) * (nd - 1))
-        idY = f.one((1,) * (nd - 1))
-        X, Y, Z = Q
-        if isinstance(X, tuple):
-            return (tuple(sh(x, ix) for x, ix in zip(X, idX)),
-                    tuple(sh(y, iy) for y, iy in zip(Y, idY)),
-                    tuple(sh(z, iz) for z, iz in zip(Z, idX)))
-        return (sh(X, idX), sh(Y, idY), sh(Z, idX))
-
-    S = P
-    k = 1
-    while k < n:
-        S = rcb.rcb_add(f, S, shift_left(S, k), b3)
-        k *= 2
-    return jax.tree.map(
-        lambda a: jax.lax.slice_in_dim(a, 0, 1, axis=axis), S)
-
-
-def _sel_ident(f, bitmask, P):
-    """P where bitmask else the identity (0:1:0)."""
-    X, Y, Z = P
-    ndim1 = tuple(1 for _ in jax.tree.leaves(X)[0].shape[1:])
-    zero = f.zero(ndim1)
-    one = f.one(ndim1)
-
-    def selt(m, a, b):
-        if isinstance(a, tuple):
-            return tuple(jnp.where(m[None], x, jnp.broadcast_to(y, x.shape))
-                         for x, y in zip(a, b))
-        return jnp.where(m[None], a, jnp.broadcast_to(b, a.shape))
-
-    return (selt(bitmask, X, zero), selt(bitmask, Y, one),
-            selt(bitmask, Z, zero))
-
-
 class TpuMSM:
     """Pippenger MSM on one TPU chip.  G1 (ext=1) and G2 (ext=2)."""
 
@@ -492,12 +307,11 @@ class TpuMSM:
         row = np.concatenate(row)                       # (2*nl*ext,)
         return np.broadcast_to(row, (NB - 1, row.shape[0])).copy()
 
-    def _corr_point(self):
+    def _corr_point(self, nw: int):
         """Host jacobian of (sum_w 2^(16w)) * NB(NB-1)/2 * gen (to subtract)."""
-        if self._phantom_corr is None:
+        if self._phantom_corr is None or self._phantom_corr[0] != nw:
             from . import msm as msm_mod
 
-            nw = self.fr.nl
             m = sum(1 << (LIMB_BITS * w) for w in range(nw))
             k = (m * (NB * (NB - 1) // 2)) % self.fr.p
             gj = (self.gen[0], self.gen[1], msm_mod._f_int(1, self.ext))
@@ -507,8 +321,8 @@ class TpuMSM:
                     P = msm_mod._host_jac_dbl(self.fq, P, self.ext)
                 if bit == "1":
                     P = msm_mod._host_jac_add(self.fq, P, gj, self.ext)
-            self._phantom_corr = P
-        return self._phantom_corr
+            self._phantom_corr = (nw, P)
+        return self._phantom_corr[1]
 
     def _xy_rows(self, px, py, pinf):
         if self.ext == 1:
@@ -516,134 +330,6 @@ class TpuMSM:
         else:
             rows = jnp.concatenate([px[0], px[1], py[0], py[1]], axis=0)
         return rows.T                                   # (n, 2nl*ext)
-
-    # ---- compiled programs (3 per shape config)
-
-    def _programs(self, C: int, n: int, nw: int):
-        key = (C, n, nw)
-        prog = self._prog_cache.get(key)
-        if prog is not None:
-            return prog
-        fq, ext = self.fq, self.ext
-        nl = fq.nl
-        Np = C * R_LANES
-        nrow = 2 * nl * ext
-        nro = 3 * nl * ext
-        scan = _scan_kernel(fq, self.b, ext, C)
-        phantom_rows = jnp.asarray(self._phantom_rows_np())
-        phantom_digits = jnp.arange(1, NB, dtype=jnp.int32)
-
-        @jax.jit
-        def f0(px, py, pinf, scalars):
-            scal = jnp.where(pinf[None, :], jnp.zeros_like(scalars), scalars)
-            digits = scal.astype(jnp.int32)
-            xy = self._xy_rows(px, py, pinf)
-            xy = jnp.concatenate([xy, phantom_rows], axis=0)
-            digits = jnp.concatenate(
-                [digits,
-                 jnp.broadcast_to(phantom_digits[None], (nw, NB - 1))], axis=1)
-            pad = Np - (n + NB - 1)
-            if pad:
-                xy = jnp.pad(xy, ((0, pad), (0, 0)))
-                digits = jnp.pad(digits, ((0, 0), (0, pad)))
-            return digits, xy
-
-        @jax.jit
-        def f1(dw, xy):
-            order = jnp.argsort(dw)
-            dsort = jnp.sort(dw)
-            xys = xy[order]
-            xyT = (xys.reshape(R_LANES, C, nrow)
-                      .transpose(1, 2, 0)
-                      .reshape(C, nrow, SB, LN))
-            prev = jnp.concatenate(
-                [jnp.full((1,), -1, jnp.int32), dsort[:-1]])
-            mask = ((dsort != prev) & (dsort != 0)).astype(jnp.uint32)
-            mkT = mask.reshape(R_LANES, C).T.reshape(C, SB, LN)
-            cnt = jnp.sum(mask.reshape(R_LANES, C), axis=1,
-                          dtype=jnp.int32)                  # (R,)
-            out = scan(xyT, mkT)                            # (2, nro, SB, LN)
-            acc = out[0].reshape(nro, R_LANES)
-            tot = out[1].reshape(nro, R_LANES)
-            return acc, tot, cnt
-
-        combine = _combine_kernel(fq, self.b, ext, nw)
-
-        @jax.jit
-        def f2(accs, tots, cnts):
-            # accs/tots: (nro, nw, R); cnts: (nw, R)
-            # Window value = sum_r ACC[r] + sum_r cnt[r]*carry[r] where
-            # carry[r] = suffix of lane totals; the second term rewrites as
-            # sum_r CS[r]*tot[r] with CS = exclusive prefix sums of cnt.
-            # K2 folds both over lanes; only log2(CH) halvings remain here.
-            b3w = _dev_b3(self.ctx, self.b, ext, 2)
-            CS = (jnp.cumsum(cnts, axis=-1) - cnts).astype(jnp.int32)
-            acc_cm = jnp.moveaxis(
-                accs.reshape(nro, nw, NSTEP, CH), 2, 0)
-            tot_cm = jnp.moveaxis(
-                tots.reshape(nro, nw, NSTEP, CH), 2, 0)
-            cs_cm = jnp.moveaxis(CS.reshape(nw, NSTEP, CH), 1, 0)
-            out = combine(acc_cm, tot_cm, cs_cm)     # (2, nro, nw, CH)
-            P = self._unflat(out.reshape(2 * nro, nw, CH)
-                             .reshape(2, nro, nw, CH)
-                             .transpose(1, 0, 2, 3)
-                             .reshape(nro, 2 * nw, CH))
-            ch = CH
-            while ch > 1:
-                half = ch // 2
-                lo = jax.tree.map(lambda a: a[..., :half], P)
-                hi = jax.tree.map(lambda a: a[..., half:ch], P)
-                P = rcb.rcb_add(self.f, lo, hi, b3w)
-                ch = half
-            Vs = jax.tree.map(lambda a: a[..., 0], P)    # (., 2nw)
-            V1 = jax.tree.map(lambda a: a[..., :nw], Vs)
-            V2 = jax.tree.map(lambda a: a[..., nw:], Vs)
-            b3s = _dev_b3(self.ctx, self.b, ext, 1)
-            W = rcb.rcb_add(self.f, V1, V2, b3s)
-            return self._flat(W)                         # (nro, nw)
-
-        prog = (f0, f1, f2)
-        self._prog_cache[key] = prog
-        return prog
-
-    def run(self, px, py, pinf, scalars, debug=None):
-        """Full MSM; returns host jacobian int tuple (like msm.MSMContext)."""
-        import os
-        import sys
-        import time as _time
-
-        if debug is None:
-            debug = bool(os.environ.get("SNARKJS_MSM_DEBUG"))
-        t_last = [_time.time()]
-
-        def _dbg(tag, arr=None):
-            if not debug:
-                return
-            if arr is not None:
-                np.asarray(jax.tree.leaves(arr)[0]).reshape(-1)[:1]
-            now = _time.time()
-            print(f"    msm[{tag}]: {now - t_last[0]:.1f}s",
-                  file=sys.stderr, flush=True)
-            t_last[0] = now
-
-        nw = scalars.shape[0]
-        n = scalars.shape[-1]
-        C = max(1, -(-(n + NB - 1) // R_LANES))
-        f0, f1, f2 = self._programs(C, n, nw)
-        digits, xy = f0(px, py, pinf, scalars)
-        _dbg("prep", xy)
-        accs, tots, cnts = [], [], []
-        for w in range(nw):
-            acc, tot, cnt = f1(digits[w], xy)
-            accs.append(acc)
-            tots.append(tot)
-            cnts.append(cnt)
-            _dbg(f"w{w}", acc)
-        flatW = f2(jnp.stack(accs, axis=1), jnp.stack(tots, axis=1),
-                   jnp.stack(cnts, axis=0))
-        out = self._finish(np.asarray(flatW))
-        _dbg("finish")
-        return out
 
     def _unflat(self, rows):
         nl, ext = self.fq.nl, self.ext
@@ -658,6 +344,85 @@ class TpuMSM:
         if self.ext == 1:
             return jnp.concatenate([X, Y, Z], axis=0)
         return jnp.concatenate([X[0], X[1], Y[0], Y[1], Z[0], Z[1]], axis=0)
+
+    # ---- compiled program (one per shape config)
+
+    def _program(self, C: int, n: int, nw: int):
+        key = (C, n, nw)
+        prog = self._prog_cache.get(key)
+        if prog is not None:
+            return prog
+        fq, ext = self.fq, self.ext
+        nl = fq.nl
+        Np = C * R_LANES
+        nrow = 2 * nl * ext
+        nro = 3 * nl * ext
+        scan = _scan_kernel(fq, self.b, ext, C)
+        phantom_rows = jnp.asarray(self._phantom_rows_np())
+        phantom_digits = jnp.arange(1, NB, dtype=jnp.int32)
+        f = self.f
+
+        def one_window(dw, xy):
+            """dw:(Np,) digits, xy:(Np, nrow) -> (nro,) window partial."""
+            order = jnp.argsort(dw)
+            dsort = dw[order]
+            xys = xy[order]
+            xyT = (xys.reshape(R_LANES, C, nrow)
+                      .transpose(1, 2, 0)
+                      .reshape(C, nrow, SB, LN))
+            st_all = scan(xyT)                          # (C, nro, SB, LN)
+            # flatten to rows indexed by sorted position e = r*C + c
+            stf = (st_all.reshape(C, nro, R_LANES)
+                         .transpose(0, 2, 1)
+                         .reshape(C * R_LANES, nro))    # [c*R + r, :]
+            # lane totals = st at c == 0
+            tot = self._unflat(st_all[0].reshape(nro, R_LANES))
+            b3r = _dev_b3(self.ctx, self.b, ext, 1)
+            carry = _suffix_excl(f, tot, b3r, axis=-1)  # (., R)
+            # first occurrence of each digit t (phantoms guarantee presence)
+            tvals = jnp.arange(1, NB, dtype=jnp.int32)
+            fidx = jnp.searchsorted(dsort, tvals)       # (NB-1,)
+            lane = (fidx // C).astype(jnp.int32)
+            cpos = (fidx % C).astype(jnp.int32)
+            A = stf[cpos * R_LANES + lane]              # (NB-1, nro)
+            A = self._unflat(A.T)
+            Cr = jax.tree.map(lambda a: a[..., lane], carry)
+            S = rcb.rcb_add(f, A, Cr, b3r)              # true suffix values
+            # pad to NB lanes with the identity and tree-sum
+            ident = rcb.rcb_zero(f, (1,))
+            S = jax.tree.map(
+                lambda a, i: jnp.concatenate(
+                    [a, jnp.broadcast_to(i, a.shape[:-1] + (1,))], axis=-1),
+                S, ident)
+            W = _tree_sum(f, S, b3r, axis=-1)
+            return self._flat(jax.tree.map(lambda a: a[..., 0], W))
+
+        @jax.jit
+        def msm_all(px, py, pinf, scalars):
+            scal = jnp.where(pinf[None, :], jnp.zeros_like(scalars), scalars)
+            digits = scal.astype(jnp.int32)
+            xy = self._xy_rows(px, py, pinf)
+            xy = jnp.concatenate([xy, phantom_rows], axis=0)
+            digits = jnp.concatenate(
+                [digits,
+                 jnp.broadcast_to(phantom_digits[None], (nw, NB - 1))], axis=1)
+            pad = Np - (n + NB - 1)
+            if pad:
+                xy = jnp.pad(xy, ((0, pad), (0, 0)))
+                digits = jnp.pad(digits, ((0, 0), (0, pad)))
+            return jax.lax.map(lambda dw: one_window(dw, xy), digits)
+
+        self._prog_cache[key] = msm_all
+        return msm_all
+
+    def run(self, px, py, pinf, scalars, debug=None):
+        """Full MSM; returns host jacobian int tuple (like msm.MSMContext)."""
+        nw = scalars.shape[0]
+        n = scalars.shape[-1]
+        C = max(1, -(-(n + NB - 1) // R_LANES))
+        msm_all = self._program(C, n, nw)
+        flatW = msm_all(px, py, pinf, scalars)          # (nw, nro)
+        return self._finish(np.asarray(flatW).T)
 
     def _finish(self, flatW: np.ndarray):
         """Host window combination minus the phantom correction (bigints)."""
@@ -688,7 +453,7 @@ class TpuMSM:
             y = msm_mod._f_mul(fq, Y, Zi, ext)
             total = msm_mod._host_jac_add(
                 fq, total, (x, y, msm_mod._f_int(1, ext)), ext)
-        corr = self._corr_point()
+        corr = self._corr_point(nw)
         if corr is not None:
             neg = (corr[0],
                    msm_mod._f_sub(fq, msm_mod._f_int(0, ext), corr[1], ext),

@@ -88,6 +88,20 @@ def _ntt_core(ctx: FieldCtx, a, k: int, inverse: bool):
     return x
 
 
+def _use_mxu(k: int) -> bool:
+    """Route big transforms through the MXU matmul NTT on TPU.
+
+    Small sizes keep the butterfly path: per-shape compile cost of the
+    matmul pipeline isn't worth it below ~2^12.
+    """
+    import os
+
+    env = os.environ.get("SNARKJS_TPU_MXU_NTT")
+    if env is not None:
+        return env not in ("0", "false") and k >= 1
+    return fjnp._use_pallas() and k >= 12
+
+
 def ntt(ctx: FieldCtx, a):
     """Forward NTT: coefficients -> evaluations at powers of w (natural order)."""
     n = a.shape[-1]
@@ -96,6 +110,10 @@ def ntt(ctx: FieldCtx, a):
     assert k <= ctx.fp.s, f"domain 2^{k} exceeds field 2-adicity {ctx.fp.s}"
     if k == 0:
         return a
+    if _use_mxu(k):
+        from . import ntt_mxu
+
+        return ntt_mxu.ntt(ctx, a)
     return _ntt_core(ctx, a, k, inverse=False)
 
 
@@ -106,21 +124,50 @@ def intt(ctx: FieldCtx, a):
     assert 1 << k == n, "size must be a power of two"
     if k == 0:
         return a
+    if _use_mxu(k):
+        from . import ntt_mxu
+
+        return ntt_mxu.intt(ctx, a)
     return _ntt_core(ctx, a, k, inverse=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _power_blocks(field_name: str, first: int, inc: int, n: int):
+    """Host tables for powers first*inc^i via a b x b outer product:
+    lo[j] = first*inc^j (j < b), hi[i] = inc^(b*i).  Device cost: one
+    elementwise Montgomery multiply instead of a log-depth scan."""
+    from ..fields.params import get_params
+
+    fp = get_params(field_name)
+    b = 1 << ((n.bit_length()) // 2 if n > 1 else 0)
+    b = max(1, min(b, n))
+    nhi = -(-n // b)
+    lo, cur = [], first % fp.p
+    for _ in range(b):
+        lo.append(fp.to_mont(cur))
+        cur = cur * inc % fp.p
+    inc_b = pow(inc, b, fp.p)
+    hi, cur = [], 1
+    for _ in range(nhi):
+        hi.append(fp.to_mont(cur))
+        cur = cur * inc_b % fp.p
+    return b, fjnp.np_from_ints(fp, lo), fjnp.np_from_ints(fp, hi)
 
 
 def apply_powers(ctx: FieldCtx, a, first: int, inc: int):
     """x_i *= first * inc^i (Fr.batchApplyKey; first/inc plain ints).
 
-    Implemented as a log-depth prefix product over the batch axis.
+    Implemented as an outer product of two sqrt(n)-sized host tables:
+    power[i*b+j] = hi[i]*lo[j], one Montgomery multiply on device, then
+    one more against the data (reference src/groth16_prove.js:67).
     """
     fp = ctx.fp
     n = a.shape[-1]
-    seq = [fp.to_mont(first)] + [fp.to_mont(inc)] * (n - 1)
-    factors = jnp.asarray(fjnp.np_from_ints(fp, seq))
-    powers = jax.lax.associative_scan(
-        lambda x, y: fjnp.mont_mul(ctx, x, y), factors, axis=1
-    )
+    b, lo, hi = _power_blocks(fp.name, first % fp.p, inc % fp.p, n)
+    nhi = -(-n // b)
+    loj = jnp.asarray(lo).reshape(ctx.nl, 1, b)
+    hij = jnp.asarray(hi).reshape(ctx.nl, nhi, 1)
+    powers = fjnp.mont_mul(ctx, hij, loj).reshape(ctx.nl, nhi * b)[:, :n]
     return fjnp.mont_mul(ctx, a, powers)
 
 
