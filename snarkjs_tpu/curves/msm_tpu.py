@@ -283,12 +283,15 @@ def _suffix_excl(f, P, b3, axis=-1):
 class TpuMSM:
     """Pippenger MSM on one TPU chip.  G1 (ext=1) and G2 (ext=2)."""
 
-    def __init__(self, fq: FieldParams, fr: FieldParams, b, gen, ext: int = 1):
+    def __init__(self, fq: FieldParams, fr: FieldParams, b, gen, ext: int = 1,
+                 cw: int = LIMB_BITS):
         self.fq = fq
         self.fr = fr
         self.b = b if ext == 1 else tuple(b)
         self.gen = gen  # affine generator (plain ints) used for phantoms
         self.ext = ext
+        self.cw = cw    # window bit width; each scalar row is one base-2^cw
+        self.nb = 1 << cw  # digit (tests shrink this to keep interpret fast)
         self.ctx = fjnp.get_ctx(fq.name)
         self.f = _DevField(self.ctx) if ext == 1 else _DevField2(self.ctx)
         self._prog_cache = {}
@@ -297,7 +300,7 @@ class TpuMSM:
     # ---- host-side constants
 
     def _phantom_rows_np(self):
-        """(NB-1, 2*nl*ext) phantom point rows: the generator, Montgomery."""
+        """(nb-1, 2*nl*ext) phantom point rows: the generator, Montgomery."""
         fq, ext = self.fq, self.ext
         row = []
         for coord in self.gen:
@@ -305,15 +308,15 @@ class TpuMSM:
             for v in vals:
                 row.append(fjnp.np_from_int(fq, fq.to_mont(v)))
         row = np.concatenate(row)                       # (2*nl*ext,)
-        return np.broadcast_to(row, (NB - 1, row.shape[0])).copy()
+        return np.broadcast_to(row, (self.nb - 1, row.shape[0])).copy()
 
     def _corr_point(self, nw: int):
         """Host jacobian of (sum_w 2^(16w)) * NB(NB-1)/2 * gen (to subtract)."""
         if self._phantom_corr is None or self._phantom_corr[0] != nw:
             from . import msm as msm_mod
 
-            m = sum(1 << (LIMB_BITS * w) for w in range(nw))
-            k = (m * (NB * (NB - 1) // 2)) % self.fr.p
+            m = sum(1 << (self.cw * w) for w in range(nw))
+            k = (m * (self.nb * (self.nb - 1) // 2)) % self.fr.p
             gj = (self.gen[0], self.gen[1], msm_mod._f_int(1, self.ext))
             P = None
             for bit in bin(k)[2:]:
@@ -357,9 +360,10 @@ class TpuMSM:
         Np = C * R_LANES
         nrow = 2 * nl * ext
         nro = 3 * nl * ext
+        NBw = self.nb
         scan = _scan_kernel(fq, self.b, ext, C)
         phantom_rows = jnp.asarray(self._phantom_rows_np())
-        phantom_digits = jnp.arange(1, NB, dtype=jnp.int32)
+        phantom_digits = jnp.arange(1, NBw, dtype=jnp.int32)
         f = self.f
 
         def one_window(dw, xy):
@@ -380,8 +384,8 @@ class TpuMSM:
             b3r = _dev_b3(self.ctx, self.b, ext, 1)
             carry = _suffix_excl(f, tot, b3r, axis=-1)  # (., R)
             # first occurrence of each digit t (phantoms guarantee presence)
-            tvals = jnp.arange(1, NB, dtype=jnp.int32)
-            fidx = jnp.searchsorted(dsort, tvals)       # (NB-1,)
+            tvals = jnp.arange(1, NBw, dtype=jnp.int32)
+            fidx = jnp.searchsorted(dsort, tvals)       # (nb-1,)
             lane = (fidx // C).astype(jnp.int32)
             cpos = (fidx % C).astype(jnp.int32)
             A = stf[cpos * R_LANES + lane]              # (NB-1, nro)
@@ -405,8 +409,9 @@ class TpuMSM:
             xy = jnp.concatenate([xy, phantom_rows], axis=0)
             digits = jnp.concatenate(
                 [digits,
-                 jnp.broadcast_to(phantom_digits[None], (nw, NB - 1))], axis=1)
-            pad = Np - (n + NB - 1)
+                 jnp.broadcast_to(phantom_digits[None], (nw, NBw - 1))],
+                axis=1)
+            pad = Np - (n + NBw - 1)
             if pad:
                 xy = jnp.pad(xy, ((0, pad), (0, 0)))
                 digits = jnp.pad(digits, ((0, 0), (0, pad)))
@@ -419,7 +424,7 @@ class TpuMSM:
         """Full MSM; returns host jacobian int tuple (like msm.MSMContext)."""
         nw = scalars.shape[0]
         n = scalars.shape[-1]
-        C = max(1, -(-(n + NB - 1) // R_LANES))
+        C = max(1, -(-(n + self.nb - 1) // R_LANES))
         msm_all = self._program(C, n, nw)
         flatW = msm_all(px, py, pinf, scalars)          # (nw, nro)
         return self._finish(np.asarray(flatW).T)
@@ -441,7 +446,7 @@ class TpuMSM:
         total = None
         for w in range(nw - 1, -1, -1):
             if total is not None:
-                for _ in range(LIMB_BITS):
+                for _ in range(self.cw):
                     total = msm_mod._host_jac_dbl(fq, total, ext)
             X = elem(flatW[0 * nl * ext:1 * nl * ext], w)
             Y = elem(flatW[1 * nl * ext:2 * nl * ext], w)

@@ -121,20 +121,36 @@ def _ints_to_limbs_np(fp: FieldParams, vals) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddle_table(field_name: str, k: int, k1: int,
-                   inverse: bool) -> np.ndarray:
-    """(nl, n2, n1) uint32 Montgomery: T[k2, j1] = w^(+-j1*k2), w of order 2^k."""
+def _twiddle_parts(field_name: str, k: int, k1: int, inverse: bool):
+    """Factored twiddle tables for T[k2, j1] = w^(+-j1*k2), w of order 2^k.
+
+    The full (n2, n1) table is too large to embed as a jit constant at
+    2^22+ (the compile payload blew the remote-compile request limit), so
+    split k2 = k2lo + s*k2hi and return
+
+        A (nl, s,     n1): A[k2lo, j1] = w^(j1*k2lo)      (Montgomery)
+        B (nl, n2//s, n1): B[k2hi, j1] = w^(s*j1*k2hi)    (Montgomery)
+
+    so T = A * B is ONE broadcast Montgomery multiply on device per call.
+    """
     fp = get_params(field_name)
     n = 1 << k
     n1 = 1 << k1
+    k2 = k - k1
     n2 = n >> k1
+    s = 1 << ((k2 + 1) // 2)
     root = fp.winv[k] if inverse else fp.w[k]
     pows = _root_powers(fp, root, n)
-    mont = [fp.to_mont(v) for v in pows]
-    tab = _ints_to_limbs_np(fp, mont)               # (nl, n)
-    idx = np.outer(np.arange(n2, dtype=np.int64),
-                   np.arange(n1, dtype=np.int64)) % n
-    return np.ascontiguousarray(tab[:, idx])        # (nl, n2, n1)
+
+    def table(step, rows):
+        # out[i, j1] = w^(step * i * j1)
+        idx = (np.outer(np.arange(rows, dtype=np.int64) * step,
+                        np.arange(n1, dtype=np.int64))) % n
+        mont = [fp.to_mont(v) for v in pows]
+        tab = _ints_to_limbs_np(fp, mont)
+        return np.ascontiguousarray(tab[:, idx])
+
+    return s, table(1, s), table(s, n2 // s)
 
 
 @functools.lru_cache(maxsize=None)
@@ -371,8 +387,12 @@ def _ntt_axis1(ctx: FieldCtx, a, inverse: bool):
     # stage A: NTT over j2 for each (j1, bt)
     y = _ntt_axis1(ctx, a.reshape(nl, n2, n1 * bt), inverse)
     y = y.reshape(nl, n2, n1, bt)
-    # twiddle w^(j1*k2)
-    tw = jnp.asarray(_twiddle_table(ctx.fp.name, k, k1, inverse))
+    # twiddle w^(j1*k2), built on device from two factored ladders
+    s, A, B = _twiddle_parts(ctx.fp.name, k, k1, inverse)
+    tw = fjnp.mont_mul(
+        ctx,
+        jnp.asarray(A).reshape(nl, 1, s, n1),
+        jnp.asarray(B).reshape(nl, n2 // s, 1, n1)).reshape(nl, n2, n1)
     y = fjnp.mont_mul(ctx, y, tw[:, :, :, None])
     # stage B: NTT over j1 for each (k2, bt)
     y = y.transpose(0, 2, 1, 3).reshape(nl, n1, n2 * bt)
