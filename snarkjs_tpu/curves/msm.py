@@ -214,19 +214,33 @@ class MSMContext:
         self.f = FqOps(fq_ctx) if extension == 1 else Fq2Ops(fq_ctx)
 
     def run(self, px, py, pinf, scalars, c: int = 8, nbits: int | None = None,
-            R: int | None = None):
+            R: int | None = None, mesh=None, cw: int = 16):
         """MSM over plain-form scalars.  Returns host jacobian int tuple.
 
         px/py: affine coordinates as (NL, N) arrays (Fq) or 2-tuples (Fq2),
-        Montgomery form; pinf: (N,) bool infinity mask; scalars: (NL, N).
+        Montgomery form; pinf: (N,) bool infinity mask; scalars: (NL, N)
+        16-bit limbs.  With `mesh`, points are sharded over its 'd' axis
+        (the suffix-scan engine runs per shard, partials combine on host);
+        `cw` selects the Pippenger window width (16 = production; 8 keeps
+        interpret-mode compile cheap for off-TPU mesh validation).
         """
-        if fjnp._use_pallas():
-            # TPU path: fused Pallas suffix-scan Pippenger (curves/msm_tpu.py)
+        if mesh is not None or fjnp._use_pallas():
+            # fused Pallas suffix-scan Pippenger (curves/msm_tpu.py)
             from . import msm_tpu
             from .host_curve import curve_from_q
 
             cv = curve_from_q(self.fp.p)
-            m = msm_tpu.get_msm(cv.name, "g1" if self.ext == 1 else "g2")
+            m = msm_tpu.get_msm(cv.name, "g1" if self.ext == 1 else "g2",
+                                cw=cw)
+            if cw == 8:
+                lo = scalars & 0xFF
+                hi = (scalars >> 8) & 0xFF
+                scalars = jnp.stack([lo, hi], axis=1).reshape(
+                    2 * scalars.shape[0], scalars.shape[1])
+            elif cw != LIMB_BITS:
+                raise ValueError("cw must be 8 or 16")
+            if mesh is not None:
+                return m.run_sharded(mesh, px, py, pinf, scalars)
             return m.run(px, py, pinf, scalars)
         if nbits is None:
             nbits = self.ctx.nl * LIMB_BITS

@@ -13,10 +13,11 @@ measurement on TPU v5e:
 
         sum_b b*B_b = sum_{t=1}^{nb-1} SuffixSum(first_index(t)).
 
-    One *phantom* generator point is appended per digit value 1..nb-1 so
-    every digit occurs, first_index(t) = searchsorted(sorted_digits, t),
-    and the host subtracts the known phantom contribution
-    sum_b b*G = nb(nb-1)/2 * G.
+    where SuffixSum(i) sums sorted points from position i on and
+    first_index(t) = searchsorted(sorted_digits, t).  The identity holds
+    even when a digit value is absent (the suffix at the boundary simply
+    repeats), so no phantom points or corrections are needed:
+    sum_t Suffix(first>=t) = sum_i |{t <= d_i}| P_i = sum_i d_i P_i.
   * The scan kernel (K1) runs one complete mixed add (RCB formulas,
     curves/rcb.py — branch-free, so doubling/identity/duplicate lanes cost
     nothing) per point per window: lanes scan contiguous chunks of the
@@ -63,15 +64,36 @@ NB = 1 << LIMB_BITS
 
 
 class _KF1:
-    """rcb-compatible wrapper: KernelField with constant-b3 multiplication."""
+    """rcb-compatible wrapper: KernelField with constant-b3 multiplication.
 
-    def __init__(self, kf, b3_l):
+    When 3b is a small integer (9 for bn254 G1, 12 for bls12-381 G1) the
+    multiply is a double-and-add ladder of modular additions (4 adds)
+    instead of a full Montgomery product — Montgomery form is preserved
+    under integer scaling (k * aR = (k a) R).
+    """
+
+    def __init__(self, kf, b3_l, b3_small=None):
         self.kf = kf
         self.b3_l = b3_l
+        self.b3_small = b3_small
+
+    def _mul_small(self, a, k):
+        kf = self.kf
+        acc = None
+        run = a
+        while k:
+            if k & 1:
+                acc = run if acc is None else kf.add(acc, run)
+            k >>= 1
+            if k:
+                run = kf.add(run, run)
+        return acc
 
     def mul(self, a, b):
         if b is _B3 or a is _B3:
             other = a if b is _B3 else b
+            if self.b3_small is not None:
+                return self._mul_small(other, self.b3_small)
             return self.kf.mul_const(other, self.b3_l)
         return self.kf.mul(a, b)
 
@@ -103,8 +125,10 @@ def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
     nl = fp.nl
     if ext == 1:
         b3_l = fpal._limbs(fp.to_mont(3 * b % fp.p), nl)
+        b3_small = 3 * b if 0 < 3 * b < 64 else None
     else:
         b3_l = tuple(fpal._limbs(fp.to_mont(3 * v % fp.p), nl) for v in b)
+        b3_small = None
     one_l = [int(x) for x in fpal._limbs(fp.one_mont, nl)]
     nr_in = 2 * nl * ext
     nro = 3 * nl * ext
@@ -112,7 +136,7 @@ def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
     def kernel(xy_ref, o_ref, st_ref, *fsc):
         kf = fpal.KernelField(fp, (SB, LN), fsc)
         f = kf if ext == 1 else fpal.KernelField2(kf)
-        fw = _KF1(f, b3_l)
+        fw = _KF1(f, b3_l, b3_small)
         c = pl.program_id(0)
 
         @pl.when(c == 0)
@@ -288,44 +312,13 @@ class TpuMSM:
         self.fq = fq
         self.fr = fr
         self.b = b if ext == 1 else tuple(b)
-        self.gen = gen  # affine generator (plain ints) used for phantoms
+        self.gen = gen  # affine generator (plain ints)
         self.ext = ext
         self.cw = cw    # window bit width; each scalar row is one base-2^cw
         self.nb = 1 << cw  # digit (tests shrink this to keep interpret fast)
         self.ctx = fjnp.get_ctx(fq.name)
         self.f = _DevField(self.ctx) if ext == 1 else _DevField2(self.ctx)
         self._prog_cache = {}
-        self._phantom_corr = None
-
-    # ---- host-side constants
-
-    def _phantom_rows_np(self):
-        """(nb-1, 2*nl*ext) phantom point rows: the generator, Montgomery."""
-        fq, ext = self.fq, self.ext
-        row = []
-        for coord in self.gen:
-            vals = (coord,) if ext == 1 else coord
-            for v in vals:
-                row.append(fjnp.np_from_int(fq, fq.to_mont(v)))
-        row = np.concatenate(row)                       # (2*nl*ext,)
-        return np.broadcast_to(row, (self.nb - 1, row.shape[0])).copy()
-
-    def _corr_point(self, nw: int):
-        """Host jacobian of (sum_w 2^(16w)) * NB(NB-1)/2 * gen (to subtract)."""
-        if self._phantom_corr is None or self._phantom_corr[0] != nw:
-            from . import msm as msm_mod
-
-            m = sum(1 << (self.cw * w) for w in range(nw))
-            k = (m * (self.nb * (self.nb - 1) // 2)) % self.fr.p
-            gj = (self.gen[0], self.gen[1], msm_mod._f_int(1, self.ext))
-            P = None
-            for bit in bin(k)[2:]:
-                if P is not None:
-                    P = msm_mod._host_jac_dbl(self.fq, P, self.ext)
-                if bit == "1":
-                    P = msm_mod._host_jac_add(self.fq, P, gj, self.ext)
-            self._phantom_corr = (nw, P)
-        return self._phantom_corr[1]
 
     def _xy_rows(self, px, py, pinf):
         if self.ext == 1:
@@ -350,8 +343,11 @@ class TpuMSM:
 
     # ---- compiled program (one per shape config)
 
-    def _program(self, C: int, n: int, nw: int):
-        key = (C, n, nw)
+    def _program(self, C: int, nw: int):
+        """Program operating on exactly Np = C*R_LANES padded points, so one
+        compilation serves every MSM length in (Np - R_LANES, Np] (callers
+        pad with infinity points outside the jit)."""
+        key = (C, nw)
         prog = self._prog_cache.get(key)
         if prog is not None:
             return prog
@@ -362,108 +358,166 @@ class TpuMSM:
         nro = 3 * nl * ext
         NBw = self.nb
         scan = _scan_kernel(fq, self.b, ext, C)
-        phantom_rows = jnp.asarray(self._phantom_rows_np())
-        phantom_digits = jnp.arange(1, NBw, dtype=jnp.int32)
         f = self.f
 
-        def one_window(dw, xy):
-            """dw:(Np,) digits, xy:(Np, nrow) -> (nro,) window partial."""
-            order = jnp.argsort(dw)
-            dsort = dw[order]
+        def window_scan(args, xy):
+            """Per-window: gather sorted points, K1 scan, pick the nb-1
+            digit-boundary suffix rows.  Returns (A rows, lane totals,
+            boundary lanes, validity)."""
+            dsort, order = args
             xys = xy[order]
             xyT = (xys.reshape(R_LANES, C, nrow)
                       .transpose(1, 2, 0)
                       .reshape(C, nrow, SB, LN))
             st_all = scan(xyT)                          # (C, nro, SB, LN)
-            # flatten to rows indexed by sorted position e = r*C + c
             stf = (st_all.reshape(C, nro, R_LANES)
                          .transpose(0, 2, 1)
                          .reshape(C * R_LANES, nro))    # [c*R + r, :]
-            # lane totals = st at c == 0
-            tot = self._unflat(st_all[0].reshape(nro, R_LANES))
-            b3r = _dev_b3(self.ctx, self.b, ext, 1)
-            carry = _suffix_excl(f, tot, b3r, axis=-1)  # (., R)
-            # first occurrence of each digit t (phantoms guarantee presence)
+            tot = st_all[0].reshape(nro, R_LANES)       # lane totals (c == 0)
+            # S(t) = sum of points with digit >= t = suffix at the first
+            # sorted position with digit >= t -- valid even for absent
+            # digits, so no phantom points are needed:
+            #   sum_t S(t) = sum_i |{t <= d_i}| P_i = sum_i d_i P_i.
             tvals = jnp.arange(1, NBw, dtype=jnp.int32)
-            fidx = jnp.searchsorted(dsort, tvals)       # (nb-1,)
-            lane = (fidx // C).astype(jnp.int32)
-            cpos = (fidx % C).astype(jnp.int32)
-            A = stf[cpos * R_LANES + lane]              # (NB-1, nro)
-            A = self._unflat(A.T)
-            Cr = jax.tree.map(lambda a: a[..., lane], carry)
-            S = rcb.rcb_add(f, A, Cr, b3r)              # true suffix values
-            # pad to NB lanes with the identity and tree-sum
-            ident = rcb.rcb_zero(f, (1,))
+            fidx = jnp.searchsorted(dsort, tvals)       # (nb-1,) in [0, Np]
+            valid = fidx < Np                           # t > max digit -> 0
+            safe = jnp.minimum(fidx, Np - 1)
+            lane = (safe // C).astype(jnp.int32)
+            cpos = (safe % C).astype(jnp.int32)
+            A = stf[cpos * R_LANES + lane]              # (nb-1, nro)
+            return A, tot, lane, valid
+
+        def phase2(A_all, tot_all, lane_all, valid_all):
+            """Batched over windows: cross-lane carry + bucket tree-sum."""
+            b3w = _dev_b3(self.ctx, self.b, ext, 2)
+            totP = self._unflat(tot_all.transpose(1, 0, 2))   # (nl, nw, R)
+            carry = _suffix_excl(f, totP, b3w, axis=-1)
+            widx = jnp.arange(nw, dtype=jnp.int32)[:, None]
+            Cr = jax.tree.map(lambda a: a[:, widx, lane_all], carry)
+            Ap = self._unflat(A_all.transpose(2, 0, 1))       # (nl, nw, nb-1)
+            S = rcb.rcb_add(f, Ap, Cr, b3w)
+            S = rcb.rcb_select(f, valid_all, S, rcb.rcb_zero(f, (1, 1)))
+            ident = rcb.rcb_zero(f, (1, 1))
             S = jax.tree.map(
                 lambda a, i: jnp.concatenate(
                     [a, jnp.broadcast_to(i, a.shape[:-1] + (1,))], axis=-1),
                 S, ident)
-            W = _tree_sum(f, S, b3r, axis=-1)
+            W = _tree_sum(f, S, b3w, axis=-1)
             return self._flat(jax.tree.map(lambda a: a[..., 0], W))
 
-        @jax.jit
         def msm_all(px, py, pinf, scalars):
             scal = jnp.where(pinf[None, :], jnp.zeros_like(scalars), scalars)
             digits = scal.astype(jnp.int32)
             xy = self._xy_rows(px, py, pinf)
-            xy = jnp.concatenate([xy, phantom_rows], axis=0)
-            digits = jnp.concatenate(
-                [digits,
-                 jnp.broadcast_to(phantom_digits[None], (nw, NBw - 1))],
-                axis=1)
-            pad = Np - (n + NBw - 1)
-            if pad:
-                xy = jnp.pad(xy, ((0, pad), (0, 0)))
-                digits = jnp.pad(digits, ((0, 0), (0, pad)))
-            return jax.lax.map(lambda dw: one_window(dw, xy), digits)
+            iota = jnp.broadcast_to(
+                jnp.arange(Np, dtype=jnp.int32)[None], (nw, Np))
+            dsorts, orders = jax.lax.sort(
+                (digits, iota), dimension=-1, num_keys=1)
+            A_all, tot_all, lane_all, valid_all = jax.lax.map(
+                lambda a: window_scan(a, xy), (dsorts, orders))
+            return phase2(A_all, tot_all, lane_all, valid_all)
 
         self._prog_cache[key] = msm_all
         return msm_all
+
+    def _jitted(self, C, nw):
+        key = ("jit", C, nw)
+        if key not in self._prog_cache:
+            self._prog_cache[key] = jax.jit(self._program(C, nw))
+        return self._prog_cache[key]
+
+    @staticmethod
+    def _pad_to(target, px, py, pinf, scalars):
+        n = scalars.shape[-1]
+        pad = target - n
+        if pad:
+            padl = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+            px = jax.tree.map(padl, px)
+            py = jax.tree.map(padl, py)
+            scalars = padl(scalars)
+            pinf = jnp.pad(pinf, (0, pad), constant_values=True)
+        return px, py, pinf, scalars
 
     def run(self, px, py, pinf, scalars, debug=None):
         """Full MSM; returns host jacobian int tuple (like msm.MSMContext)."""
         nw = scalars.shape[0]
         n = scalars.shape[-1]
-        C = max(1, -(-(n + self.nb - 1) // R_LANES))
-        msm_all = self._program(C, n, nw)
-        flatW = msm_all(px, py, pinf, scalars)          # (nw, nro)
-        return self._finish(np.asarray(flatW).T)
+        C = max(1, -(-n // R_LANES))
+        px, py, pinf, scalars = self._pad_to(C * R_LANES, px, py, pinf,
+                                             scalars)
+        msm_all = self._jitted(C, nw)
+        flatW = msm_all(px, py, pinf, scalars)          # (nro, nw)
+        return self._finish(np.asarray(flatW))
+
+    def run_sharded(self, mesh, px, py, pinf, scalars, axis: str = "d"):
+        """MSM with points sharded over a mesh axis (SURVEY 2.10 axis 1).
+
+        Every device runs the full suffix-scan Pippenger pipeline on its
+        point shard; the (nro, nw) per-device window partials — a few KB —
+        are the only cross-device data, combined on host bigints.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard_map = (jax.shard_map if hasattr(jax, "shard_map")
+                     else jax.experimental.shard_map.shard_map)
+        ndev = mesh.shape[axis]
+        nw = scalars.shape[0]
+        n = scalars.shape[-1]
+        C = max(1, -(-n // (ndev * R_LANES)))
+        px, py, pinf, scalars = self._pad_to(ndev * C * R_LANES, px, py,
+                                             pinf, scalars)
+        body = self._program(C, nw)
+
+        def local(px, py, pinf, scal):
+            return body(px, py, pinf, scal)[:, :, None]  # (nro, nw, 1)
+
+        pt_spec = jax.tree.map(lambda _: P(None, axis), px)
+        key = ("shard", C, nw, ndev, id(mesh))
+        if key not in self._prog_cache:
+            self._prog_cache[key] = jax.jit(shard_map(
+                local, mesh=mesh,
+                in_specs=(pt_spec, pt_spec, P(axis), P(None, axis)),
+                out_specs=P(None, None, axis),
+                check_vma=False,
+            ))
+        flatW = self._prog_cache[key](px, py, pinf, scalars)
+        return self._finish(np.asarray(flatW))          # (nro, nw, ndev)
 
     def _finish(self, flatW: np.ndarray):
-        """Host window combination minus the phantom correction (bigints)."""
+        """Host window combination (bigints): W = sum_w 2^(cw*w) W_w."""
         from . import msm as msm_mod
 
         fq, ext = self.fq, self.ext
         nl = fq.nl
+        if flatW.ndim == 2:
+            flatW = flatW[:, :, None]
         nw = flatW.shape[1]
+        ndev = flatW.shape[2]
 
-        def elem(rows, w):
+        def elem(rows, w, d):
             if ext == 1:
-                return fq.from_mont(fjnp.np_to_ints(fq, rows[:, w:w + 1])[0])
-            return (fq.from_mont(fjnp.np_to_ints(fq, rows[:nl, w:w + 1])[0]),
-                    fq.from_mont(fjnp.np_to_ints(fq, rows[nl:, w:w + 1])[0]))
+                return fq.from_mont(fjnp.np_to_ints(fq, rows[:, w, d:d + 1])[0])
+            return (fq.from_mont(
+                        fjnp.np_to_ints(fq, rows[:nl, w, d:d + 1])[0]),
+                    fq.from_mont(
+                        fjnp.np_to_ints(fq, rows[nl:, w, d:d + 1])[0]))
 
         total = None
         for w in range(nw - 1, -1, -1):
             if total is not None:
                 for _ in range(self.cw):
                     total = msm_mod._host_jac_dbl(fq, total, ext)
-            X = elem(flatW[0 * nl * ext:1 * nl * ext], w)
-            Y = elem(flatW[1 * nl * ext:2 * nl * ext], w)
-            Z = elem(flatW[2 * nl * ext:3 * nl * ext], w)
-            if msm_mod._f_is_zero(Z, ext):
-                continue
-            Zi = _f_inv(fq, Z, ext)
-            x = msm_mod._f_mul(fq, X, Zi, ext)
-            y = msm_mod._f_mul(fq, Y, Zi, ext)
-            total = msm_mod._host_jac_add(
-                fq, total, (x, y, msm_mod._f_int(1, ext)), ext)
-        corr = self._corr_point(nw)
-        if corr is not None:
-            neg = (corr[0],
-                   msm_mod._f_sub(fq, msm_mod._f_int(0, ext), corr[1], ext),
-                   corr[2])
-            total = msm_mod._host_jac_add(fq, total, neg, ext)
+            for d in range(ndev):
+                X = elem(flatW[0 * nl * ext:1 * nl * ext], w, d)
+                Y = elem(flatW[1 * nl * ext:2 * nl * ext], w, d)
+                Z = elem(flatW[2 * nl * ext:3 * nl * ext], w, d)
+                if msm_mod._f_is_zero(Z, ext):
+                    continue
+                Zi = _f_inv(fq, Z, ext)
+                x = msm_mod._f_mul(fq, X, Zi, ext)
+                y = msm_mod._f_mul(fq, Y, Zi, ext)
+                total = msm_mod._host_jac_add(
+                    fq, total, (x, y, msm_mod._f_int(1, ext)), ext)
         if total is None:
             total = (msm_mod._f_int(0, ext), msm_mod._f_int(1, ext),
                      msm_mod._f_int(0, ext))
@@ -479,10 +533,10 @@ def _f_inv(fp, a, ext):
 
 
 @functools.lru_cache(maxsize=None)
-def get_msm(curve_name: str, group: str = "g1") -> TpuMSM:
+def get_msm(curve_name: str, group: str = "g1", cw: int = LIMB_BITS) -> TpuMSM:
     from .host_curve import get_curve
 
     cv = get_curve(curve_name)
     if group == "g1":
-        return TpuMSM(cv.fq, cv.fr, cv.b, cv.g1, ext=1)
-    return TpuMSM(cv.fq, cv.fr, cv.b2, cv.g2, ext=2)
+        return TpuMSM(cv.fq, cv.fr, cv.b, cv.g1, ext=1, cw=cw)
+    return TpuMSM(cv.fq, cv.fr, cv.b2, cv.g2, ext=2, cw=cw)

@@ -68,9 +68,9 @@ def _qap_fn_cache():
     return {}
 
 
-def _get_qap_fn(ctx, domain_size, n_coefs, n_vars):
+def _get_qap_fn(ctx, domain_size, n_coefs, n_vars, mesh=None):
     cache = _qap_fn_cache()
-    key = (id(ctx), domain_size, n_coefs, n_vars)
+    key = (id(ctx), domain_size, n_coefs, n_vars, id(mesh))
     if key not in cache:
         fp = ctx.fp
         k = domain_size.bit_length() - 1
@@ -87,6 +87,12 @@ def _get_qap_fn(ctx, domain_size, n_coefs, n_vars):
             C_T = fjnp.mont_mul(ctx, A_T, B_T)
 
             def odd_evals(X):
+                if mesh is not None:
+                    from ..parallel import sharded
+
+                    coeffs = sharded.ntt_sharded(mesh, ctx, X, inverse=True)
+                    shifted = nttmod.apply_powers(ctx, coeffs, 1, inc)
+                    return sharded.ntt_sharded(mesh, ctx, shifted)
                 coeffs = nttmod.intt(ctx, X)
                 shifted = nttmod.apply_powers(ctx, coeffs, 1, inc)
                 return nttmod.ntt(ctx, shifted)
@@ -100,7 +106,14 @@ def _get_qap_fn(ctx, domain_size, n_coefs, n_vars):
 
 
 def prove(zkey: zkey_fmt.Groth16Zkey, witness: wtns_fmt.Witness,
-          r: int | None = None, s: int | None = None, msm_c: int = 8):
+          r: int | None = None, s: int | None = None, msm_c: int = 8,
+          mesh=None, msm_cw: int = 16, logger=None):
+    """Groth16 prover (reference src/groth16_prove.js:28-144).
+
+    mesh: optional jax.sharding.Mesh with axis 'd' — shards the five MSMs
+    over points and the six QAP NTTs four-step across chips (SURVEY 2.10).
+    msm_cw: Pippenger window width for the fused TPU MSM (16 = production).
+    """
     cv = zkey.curve
     fr, fq = cv.fr, cv.fq
     if witness.q != fr.p:
@@ -109,28 +122,40 @@ def prove(zkey: zkey_fmt.Groth16Zkey, witness: wtns_fmt.Witness,
         raise ValueError(
             f"invalid witness length. Circuit: {zkey.n_vars}, witness: {witness.n}")
 
+    def _log(msg):
+        if logger:
+            logger.debug(msg)
+
     ctx = _fr_ctx(cv)
     co = zkey.coeffs
-    qap = _get_qap_fn(ctx, zkey.domain_size, len(co["m"]), zkey.n_vars)
+    qap = _get_qap_fn(ctx, zkey.domain_size, len(co["m"]), zkey.n_vars,
+                      mesh=mesh)
+    _log("QAP: buildABC + 6 NTTs")
     p_odd = qap(co["val"], co["m"], co["c"], co["s"], witness.values)
 
     fqctx = _fq_ctx(cv)
     g1m = msm_mod.MSMContext(fqctx, fq, extension=1)
     g2m = msm_mod.MSMContext(fqctx, fq, extension=2)
     nbits = fr.n8 * 8
+    mk = dict(c=msm_c, nbits=nbits, mesh=mesh, cw=msm_cw)
 
     wit = witness.values
+    _log("Multiexp A")
     pi_a = g1m.run(zkey.a_points[0], zkey.a_points[1], zkey.a_points[2],
-                   wit, c=msm_c, nbits=nbits)
+                   wit, **mk)
+    _log("Multiexp B1")
     pi_b1 = g1m.run(zkey.b1_points[0], zkey.b1_points[1], zkey.b1_points[2],
-                    wit, c=msm_c, nbits=nbits)
+                    wit, **mk)
+    _log("Multiexp B2")
     pi_b = g2m.run(zkey.b2_points[0], zkey.b2_points[1], zkey.b2_points[2],
-                   wit, c=msm_c, nbits=nbits)
+                   wit, **mk)
     wit_c = wit[:, zkey.n_public + 1:]
+    _log("Multiexp C")
     pi_c = g1m.run(zkey.c_points[0], zkey.c_points[1], zkey.c_points[2],
-                   wit_c, c=msm_c, nbits=nbits)
+                   wit_c, **mk)
+    _log("Multiexp H")
     res_h = g1m.run(zkey.h_points[0], zkey.h_points[1], zkey.h_points[2],
-                    np.asarray(p_odd), c=msm_c, nbits=nbits)
+                    np.asarray(p_odd), **mk)
 
     # host affine conversions + blinding (reference :103-120)
     A = msm_mod.host_jac_to_affine(fq, pi_a, 1)
