@@ -1,26 +1,21 @@
 """Benchmark harness (BASELINE.md build-plan step 13).
 
-Measures the two roofline kernels of the prover on the current JAX default
-platform (the real TPU chip under the driver):
+Measures the prover's two roofline kernels plus (BENCH_FULL=1) the full
+BASELINE grid and a synthetic 2^20-constraint Groth16 prove, on the current
+JAX default platform (the real TPU chip under the driver).
 
-  * TPU MSM (curves/msm_tpu.py: sorted suffix-scan Pippenger over Pallas
-    kernels) at 2^BENCH_LOGN points, 254-bit scalars — the Groth16 prover
-    hot spot (reference src/groth16_prove.js:85-101).  Timing includes the
-    host window combination, i.e. wall-clock to a finished host-side point.
-  * radix-2 NTT over Fr at the same size (reference Fr.fft,
-    src/groth16_prove.js:66-76), timed to forced materialization.
-
-Timing methodology note: on this tunneled TPU backend `block_until_ready`
-returns before execution completes, and a host fetch costs ~26 ms fixed.
-Every timing below therefore forces a (tiny) device->host materialization
-and the fixed fetch cost is measured and reported separately.
+Timing methodology (this tunneled TPU backend):
+  * a host fetch of a whole array pays tunnel bandwidth (~30-90 MB/s) — so
+    timings force materialization of a device-side 1-element slice only;
+  * block_until_ready can return before execution completes here, so
+    repeated NTT iterations are CHAINED (x = f(x)) and closed with one tiny
+    fetch; the MSM returns host window partials every call, which is a
+    natural synchronization point (wall-clock includes host combination).
 
 Headline JSON line: MSM G1 points/s.  `vs_baseline` divides by the
 estimated throughput of the reference's WASM + worker-thread engine on one
 multicore host (~1.0e6 points/s for bn128 g1m_multiexpAffine on a 16-core
 machine; the reference publishes no numbers — see BASELINE.md).
-
-Extended grid (2^20..2^24, G2, bls12-381, more NTT sizes): BENCH_FULL=1.
 """
 
 import json
@@ -43,14 +38,16 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 BASELINE_MSM_PTS_PER_S = 1.0e6  # snarkjs WASM engine estimate (BASELINE.md)
 
+_tiny = jax.jit(lambda v: v.reshape(-1)[:1])
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def fetch(x):
-    """Force materialization of (a tiny slice of) a device array."""
-    return np.asarray(jax.tree.leaves(x)[0]).reshape(-1)[:1]
+def tfetch(x):
+    """Force completion via a device-side 1-element slice + 4-byte fetch."""
+    return np.asarray(_tiny(jax.tree.leaves(x)[0]))
 
 
 def build_points(cv, fq, n, distinct=512):
@@ -107,7 +104,6 @@ def build_scalars(fr, n, seed=0):
 
 def time_msm(cv, group, log_n, iters=3):
     from snarkjs_tpu.curves import msm_tpu
-    from snarkjs_tpu.fields import fjnp
 
     fr, fq = cv.fr, cv.fq
     n = 1 << log_n
@@ -129,34 +125,45 @@ def time_msm(cv, group, log_n, iters=3):
     return n / dt, res
 
 
-def check_msm_small(cv):
-    """Cross-check the device MSM against host bigints on 2^12 points."""
+def check_msm_small(cv, group="g1", log_n=12):
+    """Cross-check the device MSM against host bigints."""
     from snarkjs_tpu.curves import host_curve as hc
     from snarkjs_tpu.curves import msm as msm_mod
     from snarkjs_tpu.curves import msm_tpu
     from snarkjs_tpu.fields import fjnp
 
     fr, fq = cv.fr, cv.fq
-    n = 1 << 12
+    n = 1 << log_n
     scalars, ints = build_scalars(fr, n)
-    px, py, pinf = build_points(cv, fq, n)
-    m = msm_tpu.get_msm(cv.name, "g1")
-    got = msm_mod.host_jac_to_affine(fq, m.run(px, py, pinf, scalars))
+    distinct = 512 if group == "g1" else 64
+    if group == "g1":
+        px, py, pinf = build_points(cv, fq, n)
+    else:
+        px, py, pinf = build_points_g2(cv, fq, n)
+    m = msm_tpu.get_msm(cv.name, group)
+    got = msm_mod.host_jac_to_affine(
+        fq, m.run(px, py, pinf, scalars), 1 if group == "g1" else 2)
     agg = {}
     for i in range(n):
-        agg[i % 512] = (agg.get(i % 512, 0) + ints[i % len(ints)]) % fr.p
-    pxh, pyh = np.asarray(px), np.asarray(py)
+        agg[i % distinct] = (agg.get(i % distinct, 0)
+                             + ints[i % len(ints)]) % fr.p
     want = None
+    gen = cv.g1 if group == "g1" else cv.g2
+    mul = hc.g1_mul if group == "g1" else hc.g2_mul
+    add = hc.g1_add if group == "g1" else hc.g2_add
+    acc = gen
+    base = []
+    for _ in range(distinct):
+        base.append(acc)
+        acc = add(cv, acc, gen)
     for i, s in agg.items():
-        aff = (fq.from_mont(fjnp.np_to_ints(fq, pxh[:, i:i + 1])[0]),
-               fq.from_mont(fjnp.np_to_ints(fq, pyh[:, i:i + 1])[0]))
-        p = hc.g1_mul(cv, aff, s)
-        want = p if want is None else hc.g1_add(cv, want, p)
-    assert got == want, f"MSM mismatch: {got} != {want}"
-    log("  msm correctness vs host bigint (2^12): OK")
+        p = mul(cv, base[i], s)
+        want = p if want is None else add(cv, want, p)
+    assert got == want, f"MSM {cv.name} {group} mismatch: {got} != {want}"
+    log(f"  msm {cv.name} {group} correctness vs host bigint (2^{log_n}): OK")
 
 
-def time_ntt(fr_name, log_n, iters=5):
+def time_ntt(fr_name, log_n, iters=6):
     from snarkjs_tpu.fields import fjnp
     from snarkjs_tpu.ntt import ntt as nttmod
     from snarkjs_tpu.fields.params import get_params
@@ -166,23 +173,56 @@ def time_ntt(fr_name, log_n, iters=5):
     n = 1 << log_n
     rng = np.random.default_rng(1)
     k = min(n, 4096)
-    vals = [int.from_bytes(rng.bytes(31), "little") for _ in range(k)]
+    vals = [int.from_bytes(rng.bytes(fr.n8 - 1), "little") for _ in range(k)]
     arr = fjnp.np_from_ints(fr, vals)
     a = jnp.asarray(np.tile(arr, (1, -(-n // k)))[:, :n])
     f = jax.jit(lambda a: nttmod.ntt(ctx, a))
-    fetch(f(a))
-    # measure fixed fetch overhead and subtract
     t0 = time.time()
-    for _ in range(iters):
-        fetch(a)
-    over = (time.time() - t0) / iters
+    tfetch(f(a))
+    log(f"  ntt {fr_name} 2^{log_n} warmup(+compile): {time.time() - t0:.1f}s")
     t0 = time.time()
+    x = a
     for _ in range(iters):
-        fetch(f(a))
-    dt = (time.time() - t0) / iters - over
+        x = f(x)                       # chained: forces serial execution
+    tfetch(x)
+    dt = (time.time() - t0) / iters
     log(f"  ntt {fr_name} 2^{log_n}: {dt * 1e3:.1f} ms/iter = "
-        f"{n / dt:,.0f} elems/s (fetch overhead {over * 1e3:.0f} ms excluded)")
+        f"{n / dt:,.0f} elems/s")
     return n / dt
+
+
+def time_groth16_prove(n_constraints=600_000):
+    """Synthetic squaring-chain circuit: domain 2^20, ~600k variables.
+
+    BASELINE config #1: full prove wall-clock (QAP + 4 nVars MSMs + H MSM),
+    proof verified in-process.
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "__graft_entry__.py"))
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+    from snarkjs_tpu.protocols import groth16, groth16_setup
+
+    t0 = time.time()
+    cv, r1cs, wit = g._tiny_circuit(n_constraints)
+    zk = groth16_setup.setup_from_secrets(
+        r1cs, tau=0xABCDE12345, alpha=5, beta=7, gamma=1, delta=11)
+    log(f"  groth16 synthetic setup ({n_constraints} constraints, domain "
+        f"{zk.domain_size}): {time.time() - t0:.1f}s")
+    t0 = time.time()
+    proof, publics = groth16.prove(zk, wit, r=123, s=456)
+    log(f"  groth16 prove warmup(+compile): {time.time() - t0:.1f}s")
+    t0 = time.time()
+    proof, publics = groth16.prove(zk, wit, r=123, s=456)
+    dt = time.time() - t0
+    vk = groth16.export_verification_key(zk)
+    ok = groth16.verify(vk, publics, proof)
+    log(f"  groth16 prove ({n_constraints} constraints): {dt:.2f} s/proof, "
+        f"verified={ok}")
+    return dt
 
 
 def main():
@@ -201,13 +241,16 @@ def main():
     ntt_rate = time_ntt("bn254_fr", log_n)
 
     if full:
-        for extra_log in (22, 24):
+        check_msm_small(cv, "g2", 10)
+        check_msm_small(hc.BLS12_381, "g1", 10)
+        time_msm(cv, "g2", min(log_n - 2, 18), iters=1)
+        time_msm(hc.BLS12_381, "g1", min(log_n, 20), iters=1)
+        for extra_log in (22,):
             if extra_log > log_n:
                 time_msm(cv, "g1", extra_log, iters=1)
-        time_msm(cv, "g2", min(log_n, 18), iters=1)
-        time_msm(hc.BLS12_381, "g1", min(log_n, 20), iters=1)
-        time_ntt("bls12_381_fr", log_n)
-        time_ntt("bn254_fr", min(log_n + 2, 22))
+                time_ntt("bn254_fr", extra_log, iters=2)
+        time_ntt("bls12_381_fr", log_n, iters=2)
+        time_groth16_prove()
 
     print(json.dumps({
         "metric": f"msm_g1_bn254_points_per_s_2^{log_n}",

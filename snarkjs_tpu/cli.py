@@ -277,6 +277,51 @@ def zkey_verify_init(init_path, ptau_path, zkey_path, **kw):
     return 0 if ok else 1
 
 
+def zkey_export_bellman(zkey_path, mpc_path="circuit.mpcparams", **kw):
+    """reference cli.js:190 'zkey export bellman'."""
+    from .ceremony import bellman
+
+    with open(zkey_path, "rb") as f:
+        data = f.read()
+    out = bellman.export_mpc_params(data)
+    with open(mpc_path, "wb") as f:
+        f.write(out)
+    return 0
+
+
+def zkey_import_bellman(old_zkey, mpc_path, new_zkey, name="", **kw):
+    """reference cli.js:204 'zkey import bellman'."""
+    from .ceremony import bellman
+
+    with open(old_zkey, "rb") as f:
+        old = f.read()
+    with open(mpc_path, "rb") as f:
+        mpc = f.read()
+    res = bellman.import_mpc_params(old, mpc, name=name, logger=_log())
+    if res is False:
+        print("INVALID MPC params")
+        return 1
+    with open(new_zkey, "wb") as f:
+        f.write(res)
+    return 0
+
+
+def zkey_bellman_contribute(curve, mpc_in, mpc_out, entropy=None, **kw):
+    """reference cli.js:197 'zkey bellman contribute'."""
+    from .ceremony import bellman
+    from .curves import host_curve as hc
+    from .formats import ptau as ptau_fmt
+
+    cv = hc.get_curve(curve)
+    with open(mpc_in, "rb") as f:
+        challenge = f.read()
+    out, chash = bellman.bellman_contribute(cv, challenge, entropy=entropy)
+    with open(mpc_out, "wb") as f:
+        f.write(out)
+    print(ptau_fmt.format_hash(chash, "Contribution Hash:"))
+    return 0
+
+
 def _read_zkey_any(zkey_path):
     from .formats import zkey as zkey_fmt
     from .formats.binfile import BinFile
@@ -454,6 +499,9 @@ COMMANDS = [
     (("zkey", "contribute"), zkey_contribute),
     (("zkey", "beacon"), zkey_beacon),
     (("zkey", "verify", "r1cs"), zkey_verify_r1cs),
+    (("zkey", "export", "bellman"), zkey_export_bellman),
+    (("zkey", "import", "bellman"), zkey_import_bellman),
+    (("zkey", "bellman", "contribute"), zkey_bellman_contribute),
     (("zkey", "verify", "init"), zkey_verify_init),
     (("zkey", "verify"), zkey_verify_r1cs),
     (("zkey", "export", "verificationkey"), zkey_export_verificationkey),

@@ -263,7 +263,20 @@ def _dev_b3(ctx, b, ext, batch_ndim):
 
 
 def _tree_sum(f, P, b3, axis=-1):
-    """Reduce projective points along `axis` (power-of-two size)."""
+    """Reduce projective points along `axis` (power-of-two size).
+
+    On TPU: halving tree (minimal adds).  Off TPU (tests / virtual-device
+    dry runs): fixed-shape log-doubling suffix fold — log2(n) times more
+    adds, but every round reuses ONE compiled field-op shape, which is what
+    dominates wall-clock on the CPU backend (XLA CPU compiles each distinct
+    limb-loop shape in seconds)."""
+    if jax.default_backend() != "tpu":
+        S = _suffix_excl(f, P, b3, axis=axis)
+        first_suffix = jax.tree.map(
+            lambda a: jax.lax.slice_in_dim(a, 0, 1, axis=axis), S)
+        first = jax.tree.map(
+            lambda a: jax.lax.slice_in_dim(a, 0, 1, axis=axis), P)
+        return rcb.rcb_add(f, first, first_suffix, b3)
     n = jax.tree.leaves(P)[0].shape[axis]
     while n > 1:
         half = n // 2
@@ -276,14 +289,21 @@ def _tree_sum(f, P, b3, axis=-1):
 
 
 def _suffix_excl(f, P, b3, axis=-1):
-    """excl[r] = sum_{r' > r} P[r'] via log-doubling shifts."""
+    """excl[r] = sum_{r' > r} P[r'] via log-doubling shifts.
+
+    On TPU the log2(n) rounds are unrolled (cheap static slices).  Off TPU
+    they run under lax.fori_loop with a dynamic roll+mask shift, so the
+    whole reduction compiles ONE field-op body — XLA CPU compile time is
+    proportional to inlined limb-loop count, which dominates virtual-device
+    dry runs and tests."""
     n = jax.tree.leaves(P)[0].shape[axis]
     nd = jax.tree.leaves(P)[0].ndim
 
     def shift_left(Q, k):
         def sh(a, ident):
-            ax = axis % a.ndim
-            pad = jnp.broadcast_to(ident, a.shape[:ax] + (k,) + a.shape[ax + 1:])
+            pad = jnp.broadcast_to(
+                ident, a.shape[:axis % a.ndim] + (k,)
+                + a.shape[axis % a.ndim + 1:])
             return jnp.concatenate(
                 [jax.lax.slice_in_dim(a, k, n, axis=axis), pad], axis=axis)
 
@@ -295,6 +315,36 @@ def _suffix_excl(f, P, b3, axis=-1):
                     tuple(sh(y, iy) for y, iy in zip(Y, idY)),
                     tuple(sh(z, iz) for z, iz in zip(Z, idX)))
         return (sh(X, idX), sh(Y, idY), sh(Z, idX))
+
+    def roll_left(Q, k):
+        """Dynamic-shift variant: lanes >= n-k become the identity."""
+        ax = axis % nd
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        shp = [1] * nd
+        shp[ax] = n
+        keep = (pos < n - k).reshape(shp)
+
+        def sh(a, ident):
+            rolled = jnp.roll(a, -k, axis=ax)
+            return jnp.where(keep, rolled,
+                             jnp.broadcast_to(ident, a.shape))
+
+        idX = f.zero((1,) * (nd - 1))
+        idY = f.one((1,) * (nd - 1))
+        X, Y, Z = Q
+        if isinstance(X, tuple):
+            return (tuple(sh(x, ix) for x, ix in zip(X, idX)),
+                    tuple(sh(y, iy) for y, iy in zip(Y, idY)),
+                    tuple(sh(z, iz) for z, iz in zip(Z, idX)))
+        return (sh(X, idX), sh(Y, idY), sh(Z, idX))
+
+    if jax.default_backend() != "tpu":
+        rounds = (n - 1).bit_length()
+
+        def body(i, S):
+            return rcb.rcb_add(f, S, roll_left(S, 1 << i), b3)
+
+        return jax.lax.fori_loop(0, rounds, body, roll_left(P, 1))
 
     S = shift_left(P, 1)
     k = 1

@@ -225,8 +225,22 @@ def _g2_from_obj(o):
     return ((int(o[0][0]), int(o[0][1])), (int(o[1][0]), int(o[1][1])))
 
 
+def _gt_obj(f12):
+    """Fp12 -> [2][3][2] decimal-string nesting (Gt.toObject layout,
+    reference src/zkey_export_verificationkey.js:59-72)."""
+    return [[[str(c) for c in f2] for f2 in f6] for f6 in f12]
+
+
 def export_verification_key(zkey: zkey_fmt.Groth16Zkey) -> dict:
-    """vkey JSON object (reference src/zkey_export_verificationkey.js:28-77)."""
+    """vkey JSON object (reference src/zkey_export_verificationkey.js:28-77).
+
+    vk_alphabeta_12 = e(alpha_1, beta_2) as a Gt element.  Computed with
+    this repo's reduced Tate pairing (curves/host_curve.py); the reference
+    engine uses optimal ate, so the raw Fp12 coordinates are a fixed power
+    of the reference's — interchangeable inside either system (no verifier
+    reads this field; reference src/groth16_verify.js uses pairingEq on
+    alpha/beta directly).
+    """
     return {
         "protocol": "groth16",
         "curve": zkey.curve.name,
@@ -235,6 +249,8 @@ def export_verification_key(zkey: zkey_fmt.Groth16Zkey) -> dict:
         "vk_beta_2": _g2_obj(zkey.vk_beta_2),
         "vk_gamma_2": _g2_obj(zkey.vk_gamma_2),
         "vk_delta_2": _g2_obj(zkey.vk_delta_2),
+        "vk_alphabeta_12": _gt_obj(
+            hc.pairing(zkey.curve, zkey.vk_alpha_1, zkey.vk_beta_2)),
         "IC": [_g1_obj(p) for p in zkey.ic],
     }
 

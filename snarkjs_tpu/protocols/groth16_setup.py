@@ -64,10 +64,35 @@ def lagrange_at(fr, tau: int, n: int):
 
 
 def _points_from_scalars(cv, scalars, g2=False, msm_c=None):
-    """[k_i]G as (x, y, inf) Montgomery limb arrays, via one device kernel."""
+    """[k_i]G as (x, y, inf) Montgomery limb arrays, via one device kernel.
+
+    Tiny batches go through host bigints instead — the 256-bit
+    double-and-add device program costs minutes of XLA compile on CPU,
+    which dwarfs a few hundred host scalar multiplications."""
     fr, fq = cv.fr, cv.fq
     fqctx = fjnp.get_ctx(fq.name)
     n = len(scalars)
+    if n <= 512:
+        from ..curves import host_curve as hc
+
+        gen = cv.g2 if g2 else cv.g1
+        mul = hc.g2_mul if g2 else hc.g1_mul
+        pts = [mul(cv, gen, int(k) % fr.p) for k in scalars]
+        if g2:
+            id_pt = ((0, 0), (1, 0))
+            xs = tuple(fjnp.np_from_ints(
+                fq, [fq.to_mont((id_pt if p is None else p)[0][i])
+                     for p in pts]) for i in (0, 1))
+            ys = tuple(fjnp.np_from_ints(
+                fq, [fq.to_mont((id_pt if p is None else p)[1][i])
+                     for p in pts]) for i in (0, 1))
+        else:
+            xs = fjnp.np_from_ints(
+                fq, [fq.to_mont(0 if p is None else p[0]) for p in pts])
+            ys = fjnp.np_from_ints(
+                fq, [fq.to_mont(1 if p is None else p[1]) for p in pts])
+        inf = np.array([p is None for p in pts], dtype=bool)
+        return xs, ys, inf
     sl = fjnp.np_from_ints(fr, scalars)
     bits = jac.scalar_bits_from_limbs(sl, fr.n8 * 8)
     if not g2:

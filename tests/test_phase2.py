@@ -89,3 +89,35 @@ def test_prove_and_verify_with_mpc_zkey(flow):
     # wrong public input rejected
     bad = [str(int(publics[0]) + 1)] + publics[1:]
     assert not groth16.verify(vk, bad, proof)
+
+
+def test_bellman_roundtrip(flow):
+    """export -> bellman contribute -> import -> delta chain still valid
+    (reference test/fullprocess.js:88-104)."""
+    from snarkjs_tpu.ceremony import bellman
+
+    cv, pt, r1cs, init, z1, z2 = flow
+    mpc1 = bellman.export_mpc_params(z2)
+    # pure re-import (no new contribution) rebuilds an equivalent zkey
+    z2b = bellman.import_mpc_params(z2, mpc1)
+    assert z2b is not False
+    assert zkey_mpc.verify_from_init(init, pt, z2b,
+                                     rng=np.random.default_rng(6))
+    # one bellman round
+    resp, chash = bellman.bellman_contribute(cv, mpc1, rng=ChaCha([9] * 8))
+    assert len(chash) == 64
+    z3 = bellman.import_mpc_params(z2, resp, name="bellman-1")
+    assert z3 is not False
+    assert zkey_mpc.verify_from_init(init, pt, z3,
+                                     rng=np.random.default_rng(7))
+    # tampered circuit hash is rejected
+    bad = bytearray(resp)
+    # csHash position: after vk + 6 point arrays
+    fq = cv.fq
+    sg1, sg2 = 2 * fq.n8, 4 * fq.n8
+    zk = zkey_fmt.read_groth16_zkey(z2)
+    pos = (sg1 * 3 + sg2 * 3 + 8 + sg1 * zk.n_vars + 4
+           + sg1 * (zk.domain_size - 1) + 4 + sg1 * zk.n_vars + 4
+           + sg1 * zk.n_vars + 4 + sg2 * zk.n_vars)
+    bad[pos] ^= 1
+    assert bellman.import_mpc_params(z2, bytes(bad)) is False
