@@ -38,6 +38,7 @@ from ..curves.gops import FqOps, Fq2Ops
 from ..curves import jac
 from ..fields import fjnp
 from ..utils.blake2b import Blake2b
+from ..utils.spool import SpooledOut
 from ..utils.chacha import ChaCha
 from . import keypair
 from ..formats import points as pcodec
@@ -142,7 +143,7 @@ def apply_key_g1(cv, lem: bytes, n: int, first: int, inc: int) -> bytes:
             out.append(None if P is None else hc.g1_mul(cv, P, t))
             t = t * inc % fr.p
         return pcodec.g1_lem_from_ints(fq, out)
-    out = bytearray()
+    out = SpooledOut()
     t = first % fr.p
     for i0 in range(0, n, _APPLY_CHUNK):
         m = min(_APPLY_CHUNK, n - i0)
@@ -155,11 +156,11 @@ def apply_key_g1(cv, lem: bytes, n: int, first: int, inc: int) -> bytes:
         fm = fjnp.np_from_ints(fr, [fr.to_mont(t)])
         im = fjnp.np_from_ints(fr, [fr.to_mont(inc)])
         ox, oy, oinf = fn(x, y, inf, fm, im)
-        out += pcodec.g1_lem_to_bytes(fq, np.asarray(ox)[:, :m],
-                                      np.asarray(oy)[:, :m],
-                                      np.asarray(oinf)[:m])
+        out.write(pcodec.g1_lem_to_bytes(fq, np.asarray(ox)[:, :m],
+                                         np.asarray(oy)[:, :m],
+                                         np.asarray(oinf)[:m]))
         t = t * pow(inc, m, fr.p) % fr.p
-    return bytes(out)
+    return out.finish()
 
 
 def apply_key_g2(cv, lem: bytes, n: int, first: int, inc: int) -> bytes:
@@ -171,7 +172,7 @@ def apply_key_g2(cv, lem: bytes, n: int, first: int, inc: int) -> bytes:
             out.append(None if P is None else hc.g2_mul_any(cv, P, t))
             t = t * inc % fr.p
         return pcodec.g2_lem_from_ints(fq, out)
-    out = bytearray()
+    out = SpooledOut()
     t = first % fr.p
     for i0 in range(0, n, _APPLY_CHUNK):
         m = min(_APPLY_CHUNK, n - i0)
@@ -184,12 +185,12 @@ def apply_key_g2(cv, lem: bytes, n: int, first: int, inc: int) -> bytes:
         fm = fjnp.np_from_ints(fr, [fr.to_mont(t)])
         im = fjnp.np_from_ints(fr, [fr.to_mont(inc)])
         (ox0, ox1), (oy0, oy1), oinf = fn(x, y, inf, fm, im)
-        out += pcodec.g2_lem_to_bytes(
+        out.write(pcodec.g2_lem_to_bytes(
             fq, (np.asarray(ox0)[:, :m], np.asarray(ox1)[:, :m]),
             (np.asarray(oy0)[:, :m], np.asarray(oy1)[:, :m]),
-            np.asarray(oinf)[:m])
+            np.asarray(oinf)[:m]))
         t = t * pow(inc, m, fr.p) % fr.p
-    return bytes(out)
+    return out.finish()
 
 
 # ---------------------------------------------------------------------------
@@ -327,6 +328,16 @@ def beacon(pt: PtauFile, beacon_hash: bytes, num_iterations_exp: int,
     return _apply_contribution(pt, key, contrib)
 
 
+def _hash_section(hasher, cv, lem, n: int, g2: bool, conv):
+    """Chunked section hash (bounded host memory, src/powersoftau_contribute
+    hashSection analogue)."""
+    sz = (4 if g2 else 2) * cv.fq.n8
+    mv = memoryview(lem)
+    for i0 in range(0, n, _APPLY_CHUNK):
+        m = min(_APPLY_CHUNK, n - i0)
+        hasher.update(conv(cv, mv[i0 * sz:(i0 + m) * sz], m, g2))
+
+
 def _apply_contribution(pt: PtauFile, key: dict, contrib: Contribution):
     cv = pt.curve
     fr = cv.fr
@@ -347,7 +358,7 @@ def _apply_contribution(pt: PtauFile, key: dict, contrib: Contribution):
         ap = apply_key_g2 if g2 else apply_key_g1
         out = ap(cv, pt.sections[sid], n, first, tau)
         new.sections[sid] = out
-        response_h.update(lem_to_c(cv, out, n, g2))
+        _hash_section(response_h, cv, out, n, g2, lem_to_c)
         if g2:
             firsts[sid] = pcodec.g2_lem_to_ints(cv.fq, out, min(2, n))
         else:
@@ -367,7 +378,7 @@ def _apply_contribution(pt: PtauFile, key: dict, contrib: Contribution):
     next_h = Blake2b(64)
     next_h.update(response_hash)
     for sid, g2, n, _name in _sections(pt.power):
-        next_h.update(lem_to_u(cv, new.sections[sid], n, g2))
+        _hash_section(next_h, cv, new.sections[sid], n, g2, lem_to_u)
     contrib.next_challenge = next_h.digest()
     new.contributions.append(contrib)
     return new, response_hash

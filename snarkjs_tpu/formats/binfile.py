@@ -53,8 +53,25 @@ class BinFile:
     @classmethod
     def load(cls, path: str, expected_type: str | None = None,
              max_version: int = 2) -> "BinFile":
-        with open(path, "rb") as f:
-            return cls(f.read(), expected_type, max_version)
+        """Memory-map the file: reading a 97 GB power-28 ptau costs page
+        cache, not RSS (the reference's fastfile streaming analogue)."""
+        import mmap
+
+        f = open(path, "rb")
+        try:
+            data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):
+            data = f.read()       # empty or unmappable file
+            f.close()
+            return cls(data, expected_type, max_version)
+        bf = cls(data, expected_type, max_version)
+        bf._file = f              # keep the fd alive with the mapping
+        return bf
+
+    def view_section(self, stype: int, idx: int = 0):
+        """Zero-copy view of a section payload."""
+        s = self.section(stype, idx)
+        return memoryview(self.data)[s.pos:s.pos + s.size]
 
     def section(self, stype: int, idx: int = 0) -> Section:
         if stype not in self.sections or idx >= len(self.sections[stype]):

@@ -253,8 +253,34 @@ class PtauFile:
         return bw.tobytes()
 
     def save(self, path: str):
+        """Stream sections to disk in bounded chunks (no whole-file
+        buffer; sections may be mmap/spool-backed views)."""
+        import struct as _struct
+
+        CH = 16 * 1024 * 1024
         with open(path, "wb") as f:
-            f.write(self.tobytes())
+            f.write(b"ptau")
+            f.write(_struct.pack("<I", 1))
+            h = SectionWriter()
+            h.u32(self.curve.fq.n8)
+            h.big(self.curve.fq.p, self.curve.fq.n8)
+            h.u32(self.power)
+            h.u32(self.ceremony_power)
+            cw = SectionWriter()
+            cw.u32(len(self.contributions))
+            for c in self.contributions:
+                cw.raw(contribution_to_bytes(self.curve, c))
+            payloads = [(1, h.tobytes())]
+            payloads += [(sid, self.sections[sid])
+                         for sid in sorted(self.sections)]
+            payloads.append((7, cw.tobytes()))
+            f.write(_struct.pack("<I", len(payloads)))
+            for sid, payload in payloads:
+                mv = memoryview(payload)
+                f.write(_struct.pack("<I", sid))
+                f.write(_struct.pack("<Q", len(mv)))
+                for off in range(0, len(mv), CH):
+                    f.write(mv[off:off + CH])
 
     def last_challenge(self) -> bytes:
         if self.contributions:
@@ -274,7 +300,7 @@ def read_ptau(path_or_bytes) -> PtauFile:
     pt = PtauFile(cv, power, ceremony_power)
     for sid in (2, 3, 4, 5, 6, 12, 13, 14, 15):
         try:
-            pt.sections[sid] = bf.read_section(sid)
+            pt.sections[sid] = bf.view_section(sid)
         except (KeyError, ValueError):
             pass
     try:

@@ -77,3 +77,19 @@ def test_groth16_verifier_renders():
     src = solidity.export_groth16_verifier(vk)
     assert not re.findall(r"\{[a-zA-Z_]+\}", src)
     assert "verifyProof" in src
+
+
+def test_fflonk_verifier_constants_match_reference_fixture():
+    vk = _fixture("fflonk/circuit_vk.json")
+    src = solidity.export_fflonk_verifier(vk)
+    assert not re.findall(r"\{[a-zA-Z_]+\}", src)
+    with open(os.path.join(REF, "fflonk/verifier.sol")) as f:
+        ref = f.read()
+
+    def grab(text, name):
+        m = re.search(rf"constant {name}\s+= (\d+)", text)
+        return m.group(1) if m else None
+
+    for name in ("w3", "w4", "w8", "wr", "C0x", "C0y", "X2x1", "X2x2",
+                 "X2y1", "X2y2", "G2x1", "G2y1"):
+        assert grab(src, name) == grab(ref, name), name
