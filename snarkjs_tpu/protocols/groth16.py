@@ -139,23 +139,29 @@ def prove(zkey: zkey_fmt.Groth16Zkey, witness: wtns_fmt.Witness,
     nbits = fr.n8 * 8
     mk = dict(c=msm_c, nbits=nbits, mesh=mesh, cw=msm_cw)
 
+    # upload the static MSM bases once per zkey (re-uploading ~600MB of
+    # points per proof dominated wall-clock through the device tunnel)
+    if not hasattr(zkey, "_dev_points"):
+        import jax as _jax
+
+        put = _jax.tree.map(lambda a: jnp.asarray(a), (
+            zkey.a_points, zkey.b1_points, zkey.b2_points,
+            zkey.c_points, zkey.h_points))
+        object.__setattr__(zkey, "_dev_points", put)
+    (a_pts, b1_pts, b2_pts, c_pts, h_pts) = zkey._dev_points
+
     wit = witness.values
     _log("Multiexp A")
-    pi_a = g1m.run(zkey.a_points[0], zkey.a_points[1], zkey.a_points[2],
-                   wit, **mk)
+    pi_a = g1m.run(a_pts[0], a_pts[1], a_pts[2], wit, **mk)
     _log("Multiexp B1")
-    pi_b1 = g1m.run(zkey.b1_points[0], zkey.b1_points[1], zkey.b1_points[2],
-                    wit, **mk)
+    pi_b1 = g1m.run(b1_pts[0], b1_pts[1], b1_pts[2], wit, **mk)
     _log("Multiexp B2")
-    pi_b = g2m.run(zkey.b2_points[0], zkey.b2_points[1], zkey.b2_points[2],
-                   wit, **mk)
+    pi_b = g2m.run(b2_pts[0], b2_pts[1], b2_pts[2], wit, **mk)
     wit_c = wit[:, zkey.n_public + 1:]
     _log("Multiexp C")
-    pi_c = g1m.run(zkey.c_points[0], zkey.c_points[1], zkey.c_points[2],
-                   wit_c, **mk)
+    pi_c = g1m.run(c_pts[0], c_pts[1], c_pts[2], wit_c, **mk)
     _log("Multiexp H")
-    res_h = g1m.run(zkey.h_points[0], zkey.h_points[1], zkey.h_points[2],
-                    np.asarray(p_odd), **mk)
+    res_h = g1m.run(h_pts[0], h_pts[1], h_pts[2], p_odd, **mk)
 
     # host affine conversions + blinding (reference :103-120)
     A = msm_mod.host_jac_to_affine(fq, pi_a, 1)
