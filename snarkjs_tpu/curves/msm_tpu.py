@@ -63,6 +63,13 @@ R_LANES = SB * LN
 NB = 1 << LIMB_BITS
 
 
+def _r_lanes() -> int:
+    """Scan width: 4096 lanes feed the Pallas kernel on TPU; off TPU the
+    XLA fallback uses 128 so tests/virtual-mesh dry runs do 32x less
+    carry/total arithmetic (same algebra, same code path)."""
+    return R_LANES if jax.default_backend() == "tpu" else LN
+
+
 class _KF1:
     """rcb-compatible wrapper: KernelField with constant-b3 multiplication.
 
@@ -403,12 +410,37 @@ class TpuMSM:
             return prog
         fq, ext = self.fq, self.ext
         nl = fq.nl
-        Np = C * R_LANES
+        RL = _r_lanes()
+        Np = C * RL
         nrow = 2 * nl * ext
         nro = 3 * nl * ext
         NBw = self.nb
-        scan = _scan_kernel(fq, self.b, ext, C)
+        use_pallas_scan = jax.default_backend() == "tpu"
+        scan = _scan_kernel(fq, self.b, ext, C) if use_pallas_scan else None
         f = self.f
+
+        def scan_xla(xyT):
+            """Off-TPU K1 equivalent: reverse inclusive associative_scan of
+            complete adds.  The Pallas-interpret kernel body costs minutes
+            of XLA CPU compile; this costs log2(C) add bodies (zero for
+            C == 1, the test/dry-run case)."""
+            b3c = _dev_b3(self.ctx, self.b, ext, 2)
+            v = jnp.moveaxis(xyT, 1, 0)
+            # v: (nrow, C, R); split affine coords, Z = 1
+            if ext == 1:
+                Xc, Yc = v[:nl], v[nl:]
+            else:
+                Xc = (v[:nl], v[nl:2 * nl])
+                Yc = (v[2 * nl:3 * nl], v[3 * nl:])
+            Zc = jax.tree.map(
+                lambda o: jnp.broadcast_to(o, (nl, C, RL)),
+                f.one((1, 1)))
+            P = (Xc, Yc, Zc)
+            S = jax.lax.associative_scan(
+                lambda a, b: rcb.rcb_add(f, a, b, b3c), P, axis=1,
+                reverse=True)
+            rows = self._flat(S)                        # (nro, C, R)
+            return jnp.moveaxis(rows, 0, 1)             # (C, nro, R)
 
         def window_scan(args, xy):
             """Per-window: gather sorted points, K1 scan, pick the nb-1
@@ -416,14 +448,16 @@ class TpuMSM:
             boundary lanes, validity)."""
             dsort, order = args
             xys = xy[order]
-            xyT = (xys.reshape(R_LANES, C, nrow)
-                      .transpose(1, 2, 0)
-                      .reshape(C, nrow, SB, LN))
-            st_all = scan(xyT)                          # (C, nro, SB, LN)
-            stf = (st_all.reshape(C, nro, R_LANES)
-                         .transpose(0, 2, 1)
-                         .reshape(C * R_LANES, nro))    # [c*R + r, :]
-            tot = st_all[0].reshape(nro, R_LANES)       # lane totals (c == 0)
+            xyT = (xys.reshape(RL, C, nrow)
+                      .transpose(1, 2, 0))              # (C, nrow, R)
+            if use_pallas_scan:
+                st_all = scan(
+                    xyT.reshape(C, nrow, SB, LN)).reshape(C, nro, RL)
+            else:
+                st_all = scan_xla(xyT)                  # (C, nro, R)
+            stf = (st_all.transpose(0, 2, 1)
+                         .reshape(C * RL, nro))         # [c*R + r, :]
+            tot = st_all[0]                             # lane totals (c == 0)
             # S(t) = sum of points with digit >= t = suffix at the first
             # sorted position with digit >= t -- valid even for absent
             # digits, so no phantom points are needed:
@@ -434,7 +468,7 @@ class TpuMSM:
             safe = jnp.minimum(fidx, Np - 1)
             lane = (safe // C).astype(jnp.int32)
             cpos = (safe % C).astype(jnp.int32)
-            A = stf[cpos * R_LANES + lane]              # (nb-1, nro)
+            A = stf[cpos * RL + lane]                   # (nb-1, nro)
             return A, tot, lane, valid
 
         def phase2(A_all, tot_all, lane_all, valid_all):
@@ -492,8 +526,9 @@ class TpuMSM:
         """Full MSM; returns host jacobian int tuple (like msm.MSMContext)."""
         nw = scalars.shape[0]
         n = scalars.shape[-1]
-        C = max(1, -(-n // R_LANES))
-        px, py, pinf, scalars = self._pad_to(C * R_LANES, px, py, pinf,
+        RL = _r_lanes()
+        C = max(1, -(-n // RL))
+        px, py, pinf, scalars = self._pad_to(C * RL, px, py, pinf,
                                              scalars)
         msm_all = self._jitted(C, nw)
         flatW = msm_all(px, py, pinf, scalars)          # (nro, nw)
@@ -513,8 +548,9 @@ class TpuMSM:
         ndev = mesh.shape[axis]
         nw = scalars.shape[0]
         n = scalars.shape[-1]
-        C = max(1, -(-n // (ndev * R_LANES)))
-        px, py, pinf, scalars = self._pad_to(ndev * C * R_LANES, px, py,
+        RL = _r_lanes()
+        C = max(1, -(-n // (ndev * RL)))
+        px, py, pinf, scalars = self._pad_to(ndev * C * RL, px, py,
                                              pinf, scalars)
         body = self._program(C, nw)
 
