@@ -418,7 +418,7 @@ def fflonk_setup_cmd(r1cs_path, ptau_path, zkey_out, **kw):
 
 def _prove(proto, zkey_path, wtns_path, proof_out, public_out, **kw):
     mod = _proto_module(proto)
-    proof, publics = mod.prove_files(zkey_path, wtns_path)
+    proof, publics = mod.prove_files(zkey_path, wtns_path, logger=_log())
     _write_json(proof_out, proof)
     _write_json(public_out, publics)
     return 0

@@ -277,7 +277,8 @@ def verify(vk_obj: dict, publics, proof_obj: dict, logger=None) -> bool:
 # ---------------------------------------------------------------------------
 # prover
 
-def prove(zk: zkey_fmt.FflonkZkey, witness: wtns_fmt.Witness, b=None):
+def prove(zk: zkey_fmt.FflonkZkey, witness: wtns_fmt.Witness, b=None,
+          logger=None):
     """Generate an FFLONK proof.  b: optional list of 10 blinding ints."""
     cv = zk.curve
     fr = cv.fr
@@ -321,6 +322,8 @@ def prove(zk: zkey_fmt.FflonkZkey, witness: wtns_fmt.Witness, b=None):
     publics = fjnp.np_to_ints(fr, np.asarray(full_wit[:, 1:zk.n_public + 1]))
 
     # ---- round 1 -------------------------------------------------------
+    if logger:
+        logger.debug("Round 1: wires + T0 -> C1")
     def gather_wires(amap):
         vals = full_wit[:, jnp.asarray(amap)]
         pad = n - amap.shape[0]
@@ -395,6 +398,8 @@ def prove(zk: zkey_fmt.FflonkZkey, witness: wtns_fmt.Witness, b=None):
     commitC1 = commit(polC1)
 
     # ---- round 2 -------------------------------------------------------
+    if logger:
+        logger.debug("Round 2: Z + T1/T2 -> C2")
     t = Transcript(cv)
     t.add_poly(zk.c0)
     for w in publics:
@@ -483,6 +488,8 @@ def prove(zk: zkey_fmt.FflonkZkey, witness: wtns_fmt.Witness, b=None):
     commitC2 = commit(polC2)
 
     # ---- round 3: openings ---------------------------------------------
+    if logger:
+        logger.debug("Round 3: openings")
     t.reset()
     t.add_scalar(gamma)
     t.add_poly(commitC2)

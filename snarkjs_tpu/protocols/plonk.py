@@ -279,7 +279,8 @@ def _mulz_tables(fp):
     return z1, z2, z3
 
 
-def prove(zk: zkey_fmt.PlonkZkey, witness: wtns_fmt.Witness, b=None):
+def prove(zk: zkey_fmt.PlonkZkey, witness: wtns_fmt.Witness, b=None,
+          logger=None):
     """Generate a PLONK proof.  b: optional list of 11 blinding ints (tests)."""
     cv = zk.curve
     fr = cv.fr
@@ -325,6 +326,8 @@ def prove(zk: zkey_fmt.PlonkZkey, witness: wtns_fmt.Witness, b=None):
     publics = fjnp.np_to_ints(fr, np.asarray(full_wit[:, 1:zk.n_public + 1]))
 
     # --- round 1: wire polynomials -------------------------------------
+    if logger:
+        logger.debug("Round 1: wire polynomials + commitments")
     a_map = jnp.asarray(zk.a_map)
     b_map = jnp.asarray(zk.b_map)
     c_map = jnp.asarray(zk.c_map)
@@ -380,6 +383,8 @@ def prove(zk: zkey_fmt.PlonkZkey, witness: wtns_fmt.Witness, b=None):
     commitC = commit(polC_b)
 
     # --- round 2: permutation grand product ----------------------------
+    if logger:
+        logger.debug("Round 2: permutation grand product Z")
     vk_pts = {"Qm": zk.qm, "Ql": zk.ql, "Qr": zk.qr, "Qo": zk.qo, "Qc": zk.qc,
               "S1": zk.s1, "S2": zk.s2, "S3": zk.s3}
     t = Transcript(cv)
@@ -445,6 +450,8 @@ def prove(zk: zkey_fmt.PlonkZkey, witness: wtns_fmt.Witness, b=None):
     commitZ = commit(polZ_b)
 
     # --- round 3: quotient ---------------------------------------------
+    if logger:
+        logger.debug("Round 3: quotient T1/T2/T3")
     t.reset()
     t.add_scalar(beta)
     t.add_scalar(gamma)
@@ -586,6 +593,8 @@ def prove(zk: zkey_fmt.PlonkZkey, witness: wtns_fmt.Witness, b=None):
     commitT3 = commit(T3)
 
     # --- round 4: evaluations ------------------------------------------
+    if logger:
+        logger.debug("Round 4: evaluations")
     t.reset()
     t.add_scalar(alpha)
     t.add_poly(commitT1)
@@ -602,6 +611,8 @@ def prove(zk: zkey_fmt.PlonkZkey, witness: wtns_fmt.Witness, b=None):
     eval_zw = fops.poly_eval(ctx, polZ_b, xiw)
 
     # --- round 5: linearisation + openings ------------------------------
+    if logger:
+        logger.debug("Round 5: linearisation + openings")
     t.reset()
     t.add_scalar(xi)
     for e in (eval_a, eval_b, eval_c, eval_s1, eval_s2, eval_zw):
