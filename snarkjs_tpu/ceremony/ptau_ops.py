@@ -731,7 +731,8 @@ def _verify_lagrange(cv, pt, tau_sid, lag_sid, g2, rng, logger=None) -> bool:
         rs = [int(x) for x in rng.integers(0, 1 << 32, n, dtype=np.uint64)]
         if p == pt.power + 1:
             rs[n - 1] = 0
-            tau_lem = (pt.sections[tau_sid][:(n - 1) * sz] + b"\0" * sz)
+            tau_lem = (bytes(pt.sections[tau_sid][:(n - 1) * sz])
+                       + b"\0" * sz)
         else:
             tau_lem = pt.sections[tau_sid][:n * sz]
         res_tau = _msm_lem(cv, tau_lem, rs, g2)
@@ -891,7 +892,7 @@ def prepare_phase2(pt: PtauFile, logger=None) -> PtauFile:
                 logger.debug(f"lagrange {name} power {p}")
             n = 1 << p
             if p == pt.power + 1:
-                lem = pt.sections[old_sid][:(n - 1) * sz] + b"\0" * sz
+                lem = bytes(pt.sections[old_sid][:(n - 1) * sz]) + b"\0" * sz
             else:
                 lem = pt.sections[old_sid][:n * sz]
             out += group_lagrange_lem(cv, lem, n, g2)
@@ -932,7 +933,7 @@ def convert(pt: PtauFile, logger=None) -> PtauFile:
     for p in range(0, pt.power + 2):
         n = 1 << p
         if p == pt.power + 1:
-            lem = pt.sections[2][:(n - 1) * sz] + b"\0" * sz
+            lem = bytes(pt.sections[2][:(n - 1) * sz]) + b"\0" * sz
         else:
             lem = pt.sections[2][:n * sz]
         out += group_lagrange_lem(cv, lem, n, False)
