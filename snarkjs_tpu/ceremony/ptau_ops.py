@@ -606,6 +606,10 @@ def _g_mul(cv, g2, P, k):
     return hc.g2_mul_any(cv, P, k) if g2 else hc.g1_mul(cv, P, k)
 
 
+def _g_neg(cv, g2, P):
+    return hc.g2_neg(cv, P) if g2 else hc.g1_neg(cv, P)
+
+
 def verify(pt: PtauFile, logger=None, rng: "np.random.Generator" = None) -> bool:
     """Full ceremony verification (src/powersoftau_verify.js:129-289)."""
     cv = pt.curve
@@ -760,37 +764,45 @@ def _group_intt_fn(fq_name: str, fr_name: str, ext: int, k: int):
     """Jitted radix-2 group IFFT of size 2^k (jacobian in/out).
 
     Butterfly: (a, b) -> (a + w^j b, a - w^j b) where w^j b is a per-lane
-    scalar multiplication by the stage twiddle (inverse root powers), then a
-    final 1/n scalar multiplication — the group-element analogue of the Fr
-    NTT in snarkjs_tpu.ntt (ffjavascript G.ifft / lagrangeEvaluations,
-    reference src/powersoftau_preparephase2.js:87).
+    scalar multiplication by the stage twiddle (inverse root powers), with
+    the 1/n normalization folded in up front — the group-element analogue
+    of the Fr NTT in snarkjs_tpu.ntt (ffjavascript G.ifft /
+    lagrangeEvaluations, reference src/powersoftau_preparephase2.js:87).
+
+    Compile-friendliness is the design driver (the suite runs this on XLA
+    CPU, where program size is the wall-clock): ALL k stages run one
+    fori_loop over a single stage body — butterfly lane indices are
+    iota/bit arithmetic on the traced stage number, and twiddle scalars
+    come from a factored root-power ladder (A Montgomery x B plain -> one
+    Fr multiply), so the program holds one scalar-mul scan + two jac_adds
+    regardless of k, and no O(n log n) constant tables are embedded.
     """
     import jax
     import jax.numpy as jnp
     from ..ntt.ntt import bit_reverse_perm
 
     fqctx = fjnp.get_ctx(fq_name)
-    fr = fjnp.get_ctx(fr_name).fp
+    frctx = fjnp.get_ctx(fr_name)
+    fr = frctx.fp
     f = FqOps(fqctx) if ext == 1 else Fq2Ops(fqctx)
     nbits = fr.p.bit_length()
     n = 1 << k
+    h = n // 2
 
-    # stage twiddle scalars (inverse roots), bits precomputed on host
-    stage_bits = []
     root = fr.winv[k]
-    for s in range(1, k + 1):
-        m = 1 << (s - 1)
-        ws = pow(root, 1 << (k - s), fr.p)
-        tw, cur = [], 1
-        for _ in range(m):
-            tw.append(cur)
-            cur = cur * ws % fr.p
-        # tile the m twiddles across the n/2 'hi' lanes of this stage
-        reps = (n // 2) // m
-        stage_bits.append(np.tile(
-            np.asarray(_bits_of_ints(tw, nbits), dtype=np.uint32), (1, reps)))
+    # factored ladder of root powers covering exponents [0, h):
+    # root^e = A[e & (s1-1)] * B[e >> log_s1];  A Montgomery, B plain, so
+    # one mont_mul yields the PLAIN scalar value (limbs) per lane.
+    log_s1 = (max(k - 1, 1) + 1) // 2
+    s1 = 1 << log_s1
+    n_b = -(-max(h, 1) // s1)
+    A_tab = np.stack([fjnp.np_from_int(fr, fr.to_mont(pow(root, t, fr.p)))
+                      for t in range(s1)], axis=-1)
+    B_tab = np.stack([fjnp.np_from_int(fr, pow(root, s1 * u, fr.p))
+                      for u in range(n_b)], axis=-1)
+    ninv = pow(n, fr.p - 2, fr.p)
     ninv_bits = np.asarray(
-        _bits_of_ints([pow(n, fr.p - 2, fr.p)], nbits), dtype=np.uint32)
+        np.tile(_bits_of_ints([ninv], nbits), (1, h)), dtype=np.uint32)
 
     perm = bit_reverse_perm(k)
 
@@ -798,28 +810,44 @@ def _group_intt_fn(fq_name: str, fr_name: str, ext: int, k: int):
     def fn(px, py, pinf):
         P = jac.from_affine(f, f.gather(px, perm), f.gather(py, perm),
                             pinf[perm])
-        for s in range(1, k + 1):
-            m = 1 << (s - 1)
-            # view as (n/(2m), 2m): lo = [:, :m], hi = [:, m:]
-            resh = lambda a: a.reshape(a.shape[:-1] + (n // (2 * m), 2 * m))
-            Pg = jax.tree.map(resh, P)
-            lo = jax.tree.map(lambda a: a[..., :m], Pg)
-            hi = jax.tree.map(lambda a: a[..., m:], Pg)
-            flat = lambda a: a.reshape(a.shape[:-2] + (n // 2,))
-            lo = jax.tree.map(flat, lo)
-            hi = jax.tree.map(flat, hi)
-            t = jac.batch_scalar_mul(f, hi, jnp.asarray(stage_bits[s - 1]))
+        # 1/n normalization first (linear, commutes with the butterflies);
+        # two h-wide halves so the scalar-mul scan shape matches the stage
+        # body's and XLA compiles the body once.
+        nb = jnp.asarray(ninv_bits)
+        halves = [jac.batch_scalar_mul(
+            f, jax.tree.map(lambda a: a[..., sl], P), nb)
+            for sl in (slice(0, h), slice(h, n))]
+        P = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=-1),
+                         halves[0], halves[1])
+
+        At = jnp.asarray(A_tab)
+        Bt = jnp.asarray(B_tab)
+        j = jnp.arange(h, dtype=jnp.int32)
+        q = jnp.arange(n, dtype=jnp.int32)
+
+        def stage(i, P):
+            # stage s = i+1: blocks of 2m with m = 2^i
+            off = j & ((1 << i) - 1)
+            lo_idx = ((j >> i) << (i + 1)) | off
+            hi_idx = lo_idx + (1 << i)
+            # twiddle scalar w_s^off = root^(off << (k-1-i))
+            e = off << (k - 1 - i)
+            tw = fjnp.mont_mul(frctx, At[:, e & (s1 - 1)], Bt[:, e >> log_s1])
+            bits = jac.scalar_bits_from_limbs(tw, nbits)
+            lo = jax.tree.map(lambda a: a[..., lo_idx], P)
+            hi = jax.tree.map(lambda a: a[..., hi_idx], P)
+            t = jac.batch_scalar_mul(f, hi, bits)
             top = jac.jac_add(f, lo, t)
             bot = jac.jac_add(f, lo, jac.jac_neg(f, t))
-            # interleave back: (n/2m, m)+(n/2m, m) -> (n/2m, 2m)
-            unflat = lambda a: a.reshape(a.shape[:-1] + (n // (2 * m), m))
-            top = jax.tree.map(unflat, top)
-            bot = jax.tree.map(unflat, bot)
-            P = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], axis=-1)
-                .reshape(a.shape[:-2] + (n,)), top, bot)
-        bits_n = jnp.asarray(np.tile(ninv_bits, (1, n)))
-        P = jac.batch_scalar_mul(f, P, bits_n)
+            cat = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=-1),
+                               top, bot)
+            # scatter back: output position q holds pair j(q), top if the
+            # 2^i bit of q is clear else bot
+            jq = ((q >> (i + 1)) << i) | (q & ((1 << i) - 1))
+            cat_idx = jq + h * ((q >> i) & 1)
+            return jax.tree.map(lambda a: a[..., cat_idx], cat)
+
+        P = jax.lax.fori_loop(0, k, stage, P)
         return jac.to_affine_batch(f, P, f.batch_inv)
 
     return fn
@@ -834,7 +862,46 @@ def _bits_of_ints(vals, nbits):
     return out
 
 
-def group_lagrange_lem(cv, lem: bytes, n: int, g2: bool) -> bytes:
+def host_group_ifft(cv, g2: bool, pts, k: int):
+    """Radix-2 group IFFT on host bigint affine points (None = infinity).
+
+    O(n log n) reference oracle for the device path and the small-size
+    fast path (an XLA compile costs far more than bigint math at n <= a
+    few hundred)."""
+    fr = cv.fr
+    n = 1 << k
+    assert len(pts) == n
+    # bit-reverse copy
+    out = [pts[int(format(i, f"0{k}b")[::-1], 2)] for i in range(n)] \
+        if k else list(pts)
+    root = fr.winv[k]
+    for s in range(1, k + 1):
+        m = 1 << (s - 1)
+        ws = pow(root, 1 << (k - s), fr.p)
+        wj = 1
+        for j in range(m):
+            for b in range(0, n, 2 * m):
+                lo, hi = out[b + j], out[b + j + m]
+                t = None if hi is None else _g_mul(cv, g2, hi, wj)
+                tn = None if t is None else _g_neg(cv, g2, t)
+                out[b + j] = _g_add(cv, g2, lo, t)
+                out[b + j + m] = _g_add(cv, g2, lo, tn)
+            wj = wj * ws % fr.p
+    ninv = pow(n, fr.p - 2, fr.p)
+    return [None if P is None else _g_mul(cv, g2, P, ninv) for P in out]
+
+
+def _host_ifft_threshold() -> int:
+    """Below this size the host bigint IFFT beats spinning up a compile;
+    XLA CPU (the test backend) compiles the group-NTT program in ~a
+    minute, so the cutover is much higher there."""
+    import jax
+
+    return 16 if jax.default_backend() == "tpu" else 256
+
+
+def group_lagrange_lem(cv, lem: bytes, n: int, g2: bool,
+                       force_device: bool = False) -> bytes:
     """G.lagrangeEvaluations on a LEM slice: group IFFT -> Lagrange-basis
     points [L_j(tau) G]_j (device)."""
     fq, fr = cv.fq, cv.fr
@@ -842,24 +909,11 @@ def group_lagrange_lem(cv, lem: bytes, n: int, g2: bool) -> bytes:
     assert 1 << k == n
     if n == 1:
         return lem[: (4 if g2 else 2) * fq.n8]
-    if n <= 16:
-        # host bigint IFFT for tiny powers (skips an XLA compile per size)
+    if n <= _host_ifft_threshold() and not force_device:
         conv_in = pcodec.g2_lem_to_ints if g2 else pcodec.g1_lem_to_ints
         conv_out = pcodec.g2_lem_from_ints if g2 else pcodec.g1_lem_from_ints
         pts = conv_in(fq, lem, n)
-        p = fr.p
-        winv = fr.winv[k]
-        ninv = pow(n, p - 2, p)
-        out = []
-        for j in range(n):
-            acc = None
-            for i, P in enumerate(pts):
-                if P is None:
-                    continue
-                Q = _g_mul(cv, g2, P, pow(winv, i * j, p) * ninv % p)
-                acc = Q if acc is None else _g_add(cv, g2, acc, Q)
-            out.append(acc)
-        return conv_out(fq, out)
+        return conv_out(fq, host_group_ifft(cv, g2, pts, k))
     fn = _group_intt_fn(fq.name, fr.name, 2 if g2 else 1, k)
     if g2:
         x, y, inf = pcodec.g2_lem_from_bytes(fq, lem, n)

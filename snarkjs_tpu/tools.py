@@ -222,3 +222,79 @@ def wtns_debug(input_map: dict, wasm_path_or_bytes, sym_path=None,
             hooks["finish"] = lambda c: logger.info(f"FINISH: {c}")
     wc = WitnessCalculator(wasm_path_or_bytes, sanity_check=True, hooks=hooks)
     return wc.calculate_wtns_bin(input_map, sanity_check=True)
+
+
+def zkey_export_json(zkey_path_or_bytes) -> dict:
+    """Full Groth16 zkey dump as a JSON-ready object (reference
+    src/zkey_export_json.js:1-11 over zkey_utils.readZKey:340-444, which
+    only supports the Groth16 layout; stringified bigints, Fr coefficient
+    values un-Montgomeried twice — readFr2 multiplies by Rri^2)."""
+    from .formats import zkey as zkey_fmt
+
+    zk = zkey_fmt.read_groth16_zkey(zkey_path_or_bytes)
+    fq, fr = zk.curve.fq, zk.curve.fr
+
+    def g1o(p):
+        return ["0", "1", "0"] if p is None else [str(p[0]), str(p[1]), "1"]
+
+    def g2o(p):
+        if p is None:
+            return [["0", "0"], ["1", "0"], ["0", "0"]]
+        return [[str(p[0][0]), str(p[0][1])],
+                [str(p[1][0]), str(p[1][1])], ["1", "0"]]
+
+    def g1_list(pts):
+        x, y, inf = pts
+        xs = fjnp.np_to_ints(fq, np.asarray(x))
+        ys = fjnp.np_to_ints(fq, np.asarray(y))
+        return [g1o(None if inf[i] else (fq.from_mont(int(xs[i])),
+                                         fq.from_mont(int(ys[i]))))
+                for i in range(len(xs))]
+
+    def g2_list(pts):
+        (x0, x1), (y0, y1), inf = pts
+        c = [fjnp.np_to_ints(fq, np.asarray(a)) for a in (x0, x1, y0, y1)]
+        return [g2o(None if inf[i] else
+                    ((fq.from_mont(int(c[0][i])), fq.from_mont(int(c[1][i]))),
+                     (fq.from_mont(int(c[2][i])), fq.from_mont(int(c[3][i])))))
+                for i in range(len(c[0]))]
+
+    co = zk.coeffs
+    vals = fjnp.np_to_ints(fr, np.asarray(co["val"]))
+    ccoefs = [{
+        "matrix": int(co["m"][i]),
+        "constraint": int(co["c"][i]),
+        "signal": int(co["s"][i]),
+        # stored value*R^2 -> plain (reference readFr2, zkey_utils.js:443-446)
+        "value": str(fr.from_mont(fr.from_mont(int(vals[i])))),
+    } for i in range(len(co["m"]))]
+
+    # C is indexed from nPublic+1 in the reference's sparse JS array; JSON
+    # renders the missing prefix as nulls (stringifyBigInts keeps them).
+    c_list = [None] * (zk.n_public + 1) + g1_list(zk.c_points)
+
+    return {
+        "protocol": "groth16",
+        "curve": zk.curve.name,
+        "q": str(fq.p),
+        "n8q": zk.n8q,
+        "r": str(fr.p),
+        "n8r": zk.n8r,
+        "nVars": zk.n_vars,
+        "nPublic": zk.n_public,
+        "domainSize": zk.domain_size,
+        "power": zk.power,
+        "vk_alpha_1": g1o(zk.vk_alpha_1),
+        "vk_beta_1": g1o(zk.vk_beta_1),
+        "vk_beta_2": g2o(zk.vk_beta_2),
+        "vk_gamma_2": g2o(zk.vk_gamma_2),
+        "vk_delta_1": g1o(zk.vk_delta_1),
+        "vk_delta_2": g2o(zk.vk_delta_2),
+        "IC": [g1o(p) for p in zk.ic],
+        "ccoefs": ccoefs,
+        "A": g1_list(zk.a_points),
+        "B1": g1_list(zk.b1_points),
+        "B2": g2_list(zk.b2_points),
+        "C": c_list,
+        "hExps": g1_list(zk.h_points),
+    }

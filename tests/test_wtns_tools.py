@@ -38,7 +38,7 @@ def test_wtns_check():
 
     bad_vals = np.asarray(wit.values).copy()
     bad_vals[0, 5] ^= 1
-    bad = wtns_fmt.Witness(q=wit.q, n=wit.n, values=bad_vals)
+    bad = wtns_fmt.Witness(n8=wit.n8, q=wit.q, n=wit.n, values=bad_vals)
     assert not tools.wtns_check(r1cs, bad)
 
 
