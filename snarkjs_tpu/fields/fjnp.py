@@ -234,15 +234,42 @@ def _cond_sub_p(ctx, limbs, carry):
 
 
 # ---------------- modular add / sub / neg ----------------
+#
+# Public elementwise ops route through `_op_jit`: a jitted callable with
+# STABLE identity per (field, op).  Without it every eager call rebuilds
+# the fori_loop closures, so lax.scan/fori retrace AND recompile per call
+# (~85 ms each on XLA CPU — a small PLONK prove spent 250+ s in thousands
+# of identical tiny compiles).  With it, repeat calls hit the C++ jit
+# fastpath and each (op, shape) compiles exactly once per process.
+
+
+@functools.lru_cache(maxsize=None)
+def _op_jit(fname: str, op: str, static=()):
+    ctx = get_ctx(fname)
+    impl = _OP_IMPLS[op]
+    return jax.jit(lambda *args: impl(ctx, *args, *static))
+
 
 def add(ctx: FieldCtx, a, b):
+    return _op_jit(ctx.fp.name, "add")(a, b)
+
+
+def sub(ctx: FieldCtx, a, b):
+    return _op_jit(ctx.fp.name, "sub")(a, b)
+
+
+def neg(ctx: FieldCtx, a):
+    return _op_jit(ctx.fp.name, "neg")(a)
+
+
+def _add_impl(ctx: FieldCtx, a, b):
     if _use_pallas():
         return _pal(ctx).add(a, b)
     s, carry = _add_limbs(a, b)
     return _cond_sub_p(ctx, s, carry)
 
 
-def sub(ctx: FieldCtx, a, b):
+def _sub_impl(ctx: FieldCtx, a, b):
     if _use_pallas():
         return _pal(ctx).sub(a, b)
     d, borrow = _sub_limbs(a, b)
@@ -250,7 +277,7 @@ def sub(ctx: FieldCtx, a, b):
     return jnp.where((borrow == 1)[None, ...], fixed, d)
 
 
-def neg(ctx: FieldCtx, a):
+def _neg_impl(ctx: FieldCtx, a):
     if _use_pallas():
         return _pal(ctx).neg(a)
     z = jnp.zeros_like(a)
@@ -311,6 +338,10 @@ def _conv_columns(a, b, na, nb, out_cols):
 
 def mont_mul(ctx: FieldCtx, a, b):
     """Montgomery product a*b*R^-1 mod p.  Inputs/outputs in [0, p)."""
+    return _op_jit(ctx.fp.name, "mont_mul")(a, b)
+
+
+def _mont_mul_impl(ctx: FieldCtx, a, b):
     if _use_pallas():
         return _pal(ctx).mont_mul(a, b)
     n = ctx.nl
@@ -337,10 +368,18 @@ def mont_sqr(ctx: FieldCtx, a):
 
 
 def to_mont(ctx: FieldCtx, a):
-    return mont_mul(ctx, a, ctx.r2(a))
+    return _op_jit(ctx.fp.name, "to_mont")(a)
+
+
+def _to_mont_impl(ctx: FieldCtx, a):
+    return _mont_mul_impl(ctx, a, ctx.r2(a))
 
 
 def from_mont(ctx: FieldCtx, a):
+    return _op_jit(ctx.fp.name, "from_mont")(a)
+
+
+def _from_mont_impl(ctx: FieldCtx, a):
     if _use_pallas():
         one_plain = jnp.zeros((ctx.nl,) + (1,) * (a.ndim - 1), dtype=U32)
         one_plain = one_plain.at[0].set(1)
@@ -370,6 +409,10 @@ def scalar_mul_small(ctx: FieldCtx, a, k: int):
 
 
 def exp_const(ctx: FieldCtx, a, e: int):
+    return _op_jit(ctx.fp.name, "exp_const", (e,))(a)
+
+
+def _exp_const_impl(ctx: FieldCtx, a, e: int):
     """a^e (Montgomery in, Montgomery out) with a static Python-int exponent.
 
     Small exponents unroll (no wasted multiplies); large ones use a lax.scan
@@ -406,6 +449,10 @@ def inv(ctx: FieldCtx, a):
 
 
 def batch_inverse(ctx: FieldCtx, a, axis=-1):
+    return _op_jit(ctx.fp.name, "batch_inverse", (axis,))(a)
+
+
+def _batch_inverse_impl(ctx: FieldCtx, a, axis=-1):
     """Montgomery batch inversion along `axis` (batch axis, not limb axis).
 
     Equivalent of ffjavascript Fr.batchInverse (use-site reference
@@ -455,6 +502,19 @@ def _ones_slice(ctx, a, axis):
     return jnp.broadcast_to(
         ctx.one(tuple(1 for _ in range(a.ndim - 1))), _shape_one(a, axis)
     ).astype(U32)
+
+
+# op name -> implementation, consumed by _op_jit (stable jitted identities)
+_OP_IMPLS = {
+    "add": _add_impl,
+    "sub": _sub_impl,
+    "neg": _neg_impl,
+    "mont_mul": _mont_mul_impl,
+    "to_mont": _to_mont_impl,
+    "from_mont": _from_mont_impl,
+    "batch_inverse": _batch_inverse_impl,
+    "exp_const": _exp_const_impl,
+}
 
 
 # ---------------- host <-> device conversions (numpy, limb-major) ----------------

@@ -278,8 +278,11 @@ def verify(vk_obj: dict, publics, proof_obj: dict, logger=None) -> bool:
 # prover
 
 def prove(zk: zkey_fmt.FflonkZkey, witness: wtns_fmt.Witness, b=None,
-          logger=None):
-    """Generate an FFLONK proof.  b: optional list of 10 blinding ints."""
+          logger=None, mesh=None, msm_c: int = 8, msm_cw: int = 16):
+    """Generate an FFLONK proof.  b: optional list of 10 blinding ints.
+
+    mesh: optional jax.sharding.Mesh with axis 'd' — shards the four
+    commitment MSMs over the 9n+18-point SRS (SURVEY 2.10 axis 1)."""
     cv = zk.curve
     fr = cv.fr
     p = fr.p
@@ -385,14 +388,28 @@ def prove(zk: zkey_fmt.FflonkZkey, witness: wtns_fmt.Witness, b=None,
 
     fqctx = fjnp.get_ctx(cv.fq.name)
     g1m = msm_mod.MSMContext(fqctx, cv.fq, extension=1)
-    ptx, pty, ptinf = zk.ptau
+
+    # one padded commitment length = whole SRS (9n+18), uploaded to device
+    # once per zkey: a single MSM program serves all four commitments and
+    # the per-commitment re-upload/host round trip disappears (mirrors
+    # groth16.py's _dev_points caching, VERDICT r4 weak 4)
+    M = zk.ptau[2].shape[0]
+    if getattr(zk, "_dev_ptau_m", None) != M:
+        ptx, pty, ptinf = zk.ptau
+        object.__setattr__(zk, "_dev_ptau", (
+            jnp.asarray(ptx), jnp.asarray(pty), jnp.asarray(ptinf)))
+        object.__setattr__(zk, "_dev_ptau_m", M)
+    dptx, dpty, dptinf = zk._dev_ptau
+    mk = dict(c=msm_c, nbits=fr.n8 * 8, mesh=mesh, cw=msm_cw)
 
     def commit(coefs):
         m = coefs.shape[1]
-        scal = np.asarray(fjnp.from_mont(ctx, coefs))
-        res = g1m.run(jnp.asarray(ptx[:, :m]), jnp.asarray(pty[:, :m]),
-                      jnp.asarray(ptinf[:m]), jnp.asarray(scal), c=8,
-                      nbits=fr.n8 * 8)
+        assert m <= M, f"commitment degree {m} exceeds SRS length {M}"
+        scal = fjnp.from_mont(ctx, coefs)           # stays on device
+        if m < M:
+            scal = jnp.concatenate(
+                [scal, jnp.zeros((nl, M - m), jnp.uint32)], axis=1)
+        res = g1m.run(dptx, dpty, dptinf, scal, **mk)
         return msm_mod.host_jac_to_affine(cv.fq, res, 1)
 
     commitC1 = commit(polC1)

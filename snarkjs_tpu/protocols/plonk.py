@@ -280,8 +280,12 @@ def _mulz_tables(fp):
 
 
 def prove(zk: zkey_fmt.PlonkZkey, witness: wtns_fmt.Witness, b=None,
-          logger=None):
-    """Generate a PLONK proof.  b: optional list of 11 blinding ints (tests)."""
+          logger=None, mesh=None, msm_c: int = 8, msm_cw: int = 16):
+    """Generate a PLONK proof.  b: optional list of 11 blinding ints (tests).
+
+    mesh: optional jax.sharding.Mesh with axis 'd' — shards the nine
+    commitment MSMs over SRS points (SURVEY 2.10 axis 1); msm_cw selects
+    the fused-MSM window width on the TPU/mesh path."""
     cv = zk.curve
     fr = cv.fr
     p = fr.p
@@ -369,13 +373,30 @@ def prove(zk: zkey_fmt.PlonkZkey, witness: wtns_fmt.Witness, b=None,
 
     fqctx = fjnp.get_ctx(cv.fq.name)
     g1m = msm_mod.MSMContext(fqctx, cv.fq, extension=1)
-    ptx, pty, ptinf = zk.ptau
+
+    # every commitment is padded to ONE length (the longest, T3's n+6) so a
+    # single MSM program serves all nine, and the SRS prefix uploads to the
+    # device once per zkey (mirrors groth16.py's _dev_points caching; the
+    # per-commitment re-slice/re-upload + from-Montgomery host round trip
+    # was the r4 transfer bug, VERDICT weak 4)
+    M = min(n + 6, zk.ptau[2].shape[0])
+    if getattr(zk, "_dev_ptau_m", None) != M:
+        ptx, pty, ptinf = zk.ptau
+        object.__setattr__(zk, "_dev_ptau", (
+            jnp.asarray(ptx[:, :M]), jnp.asarray(pty[:, :M]),
+            jnp.asarray(ptinf[:M])))
+        object.__setattr__(zk, "_dev_ptau_m", M)
+    dptx, dpty, dptinf = zk._dev_ptau
+    mk = dict(c=msm_c, nbits=fr.n8 * 8, mesh=mesh, cw=msm_cw)
 
     def commit(coefs, label=""):
         m = coefs.shape[1]
-        scal = np.asarray(fjnp.from_mont(ctx, coefs))
-        res = g1m.run(ptx[:, :m], pty[:, :m], ptinf[:m], scal, c=8,
-                      nbits=fr.n8 * 8)
+        assert m <= M, f"commitment degree {m} exceeds SRS length {M}"
+        scal = fjnp.from_mont(ctx, coefs)           # stays on device
+        if m < M:
+            scal = jnp.concatenate(
+                [scal, jnp.zeros((nl, M - m), jnp.uint32)], axis=1)
+        res = g1m.run(dptx, dpty, dptinf, scal, **mk)
         return msm_mod.host_jac_to_affine(cv.fq, res, 1)
 
     commitA = commit(polA_b)
