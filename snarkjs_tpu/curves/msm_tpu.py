@@ -4,42 +4,49 @@ Replaces ffjavascript's g1m_multiexpAffine worker MSM (the Groth16 prover
 hot spot, reference src/groth16_prove.js:85-101) with a design picked by
 measurement on TPU v5e:
 
-  * XLA's radix sort is fast (~0.4 ms for 2^20 int32) and row-major gathers
-    are serviceable, while column gathers, wide-payload gathers and scatters
-    are pathological (100-1000x off bandwidth).  So the only data-movement
-    ops used are ONE argsort + row gathers.
+  * Random gathers are pathological on this memory system (~25 ns per row,
+    latency-bound) while the radix sort streams its passes at near
+    bandwidth — so each window's grouping-by-digit is done by ONE
+    lax.sort that carries the affine point rows AS SORT PAYLOAD (16
+    packed u32 columns; two 16-bit limbs per u32).  No argsort, no
+    gather of point data at all.
+  * Digits are BALANCED SIGNED (|d| <= 2^15, sign folded into the sort
+    key's low bit and applied by negating y inside the kernel), which
+    halves the bucket range and with it the boundary-row gather, the
+    searchsorted, and the bucket tree-sum.
   * Per-lane dynamic indexing does not exist on the VPU, so classic bucket
     scatter/accumulate is replaced by the suffix-sum identity
 
-        sum_b b*B_b = sum_{t=1}^{nb-1} SuffixSum(first_index(t)).
+        sum_b b*B_b = sum_{t=1}^{nb/2} SuffixSum(first_index(key >= 2t)).
 
-    where SuffixSum(i) sums sorted points from position i on and
-    first_index(t) = searchsorted(sorted_digits, t).  The identity holds
-    even when a digit value is absent (the suffix at the boundary simply
-    repeats), so no phantom points or corrections are needed:
-    sum_t Suffix(first>=t) = sum_i |{t <= d_i}| P_i = sum_i d_i P_i.
+    where SuffixSum(i) sums sorted (sign-applied) points from position i
+    on.  The identity holds even when a magnitude is absent (the suffix at
+    the boundary simply repeats), so no phantom points or corrections are
+    needed: sum_t Suffix(...) = sum_i |d_i| sign_i P_i = sum_i d_i P_i.
   * The scan kernel (K1) runs one complete mixed add (RCB formulas,
     curves/rcb.py — branch-free, so doubling/identity/duplicate lanes cost
     nothing) per point per window: lanes scan contiguous chunks of the
     sorted order high->low and the running suffix point is streamed back to
-    HBM.  That single madd per element is the whole per-point device cost.
-  * The nb-1 first-occurrence suffix values are then picked up with a
-    row gather and tree-summed (nb-1 extra adds — the classic Pippenger
-    bucket-combination term).  Cross-lane carries (each lane's suffix is
-    local to its chunk) are fixed by adding the suffix of later lanes'
-    totals, computed with a log-doubling pass over the 4096 lane totals.
+    HBM packed 2-limbs-per-u32 (downstream transpose + boundary gather
+    move half the bytes).  That single madd per element is the whole
+    per-point device cost.
+  * The nb/2 first-occurrence suffix values are then picked up with a
+    row gather and tree-summed (the classic Pippenger bucket-combination
+    term).  Cross-lane carries (each lane's suffix is local to its chunk)
+    are fixed by adding the suffix of later lanes' totals, computed with a
+    log-doubling pass over the 4096 lane totals.
   * All nw windows run inside ONE jit (lax.map), so there are no per-window
     host round trips; the only host transfer is the final (nro, nw) window
     partials, combined on host bigints exactly like the reference combines
     per-chunk WASM results on the JS side.
 
 Window size c = 16 bits == one scalar limb, so digits are just the scalar
-limbs (nw = 16 windows for a 254/255-bit field).
+limbs (nw = 16 windows for a 254/255-bit field) balanced-recoded with a
+carry chain.
 
-Cost model per window: n mixed adds (13 Fq muls each) + nb tree adds, so a
-2^20 G1 MSM costs ~16 * 1.06 * 2^20 * 13 = 232M Fq muls -> ~0.5 s at the
-measured 441M muls/s VPU ceiling, ~2x the snarkjs WASM engine per chip
-before sharding.
+Measured v5e split at 2^20 G1 (607 ms total, 1.73M points/s): payload
+sort ~180 ms, K1 scan ~343 ms (VPU mul ceiling), boundary gather +
+carry + tree-sum ~80 ms.
 """
 
 from __future__ import annotations
@@ -125,12 +132,15 @@ _B3 = _B3Sentinel()
 def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
     """K1: per-lane suffix scan of mixed adds.
 
-    Input  xy:(C, nl*ext, SB, LN) sorted affine points with two 16-bit
+    Input  xy:(C, nl*ext + 1, SB, LN) sorted affine points with two 16-bit
            limbs PACKED per u32 (halves the HBM traffic of the sorted
            stream; the radix sort that feeds this kernel moves payload
-           bytes, so packing pays twice)
-    Output st:(C, 3*nl*ext, SB, LN) running suffix point after each step
-           (st[c] = sum of this lane's elements c..C-1).
+           bytes, so packing pays twice) + the sorted signed-digit key row
+           (mag*2 + sign): lanes with sign 1 add -P (y negated in-kernel).
+    Output st:(C, 3*nl*ext//2, SB, LN) running suffix point after each
+           step (st[c] = sum of this lane's elements c..C-1), limb pairs
+           packed 2-per-u32 as well — the downstream transpose + boundary
+           row gather move half the bytes; phase2 unpacks what it touches.
     """
     nl = fp.nl
     if ext == 1:
@@ -141,8 +151,9 @@ def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
         b3_small = None
     one_l = [int(x) for x in fpal._limbs(fp.one_mont, nl)]
     npk = nl // 2          # packed u32 rows per Fq element
-    nr_in = nl * ext       # packed rows for (x, y)
+    nr_in = nl * ext + 1   # packed rows for (x, y) + the key row
     nro = 3 * nl * ext
+    nro_p = nro // 2
 
     def kernel(xy_ref, o_ref, st_ref, *fsc):
         kf = fpal.KernelField(fp, (SB, LN), fsc)
@@ -184,16 +195,19 @@ def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
         xyv = xy_ref[0]
         x2 = unpack(xyv, 0)
         y2 = unpack(xyv, npk * ext)
+        negmask = (xyv[nr_in - 1] & 1) != 0             # signed-digit lanes
+        y2 = f.select(negmask, f.sub(f.zero_like(y2), y2), y2)
         new_st = rcb.rcb_madd(fw, st, x2, y2, _B3)
         st_rows = rows_of(new_st)
         st_ref[...] = st_rows
-        o_ref[0] = st_rows
+        pairs = st_rows.reshape(nro_p, 2, SB, LN)
+        o_ref[0] = pairs[:, 0] | (pairs[:, 1] << 16)
 
     def run(xyT):
         spec_xy = pl.BlockSpec((1, nr_in, SB, LN),
                                lambda i: (C - 1 - i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-        spec_out = pl.BlockSpec((1, nro, SB, LN),
+        spec_out = pl.BlockSpec((1, nro_p, SB, LN),
                                 lambda i: (C - 1 - i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
@@ -201,7 +215,7 @@ def _scan_kernel(fp: FieldParams, b, ext: int, C: int):
             grid=(C,),
             in_specs=[spec_xy],
             out_specs=spec_out,
-            out_shape=jax.ShapeDtypeStruct((C, nro, SB, LN), U32),
+            out_shape=jax.ShapeDtypeStruct((C, nro_p, SB, LN), U32),
             scratch_shapes=[pltpu.VMEM((nro, SB, LN), U32)]
             + fpal.KernelField.scratch_shapes(fp, (SB, LN)),
             interpret=jax.default_backend() != "tpu",
@@ -434,11 +448,11 @@ class TpuMSM:
         f = self.f
 
         def unpack_rows(pk):
-            """(npk, ...) packed u32 -> (2*npk, ...) 16-bit limb rows."""
+            """(k, ...) packed u32 -> (2k, ...) 16-bit limb rows."""
             lo = pk & jnp.uint32(0xFFFF)
             hi = pk >> 16
             return jnp.stack([lo, hi], axis=1).reshape(
-                (2 * npk,) + pk.shape[1:])
+                (2 * pk.shape[0],) + pk.shape[1:])
 
         def scan_xla(xyT):
             """Off-TPU K1 equivalent: reverse inclusive associative_scan of
@@ -446,13 +460,20 @@ class TpuMSM:
             of XLA CPU compile; this costs log2(C) add bodies (zero for
             C == 1, the test/dry-run case)."""
             b3c = _dev_b3(self.ctx, self.b, ext, 2)
-            v = unpack_rows(jnp.moveaxis(xyT, 1, 0))
+            rows_in = jnp.moveaxis(xyT, 1, 0)           # (npk+1, C, R)
+            v = unpack_rows(rows_in[:npk])
+            negmask = (rows_in[npk] & 1) != 0           # signed-digit lanes
+
+            def cneg(Y):
+                return jnp.where(negmask[None],
+                                 fjnp.sub(self.ctx, jnp.zeros_like(Y), Y), Y)
+
             # v: (2*nl*ext, C, R); split affine coords, Z = 1
             if ext == 1:
-                Xc, Yc = v[:nl], v[nl:]
+                Xc, Yc = v[:nl], cneg(v[nl:])
             else:
                 Xc = (v[:nl], v[nl:2 * nl])
-                Yc = (v[2 * nl:3 * nl], v[3 * nl:])
+                Yc = (cneg(v[2 * nl:3 * nl]), cneg(v[3 * nl:]))
             Zc = jax.tree.map(
                 lambda o: jnp.broadcast_to(o, (nl, C, RL)),
                 f.one((1, 1)))
@@ -461,66 +482,104 @@ class TpuMSM:
                 lambda a, b: rcb.rcb_add(f, a, b, b3c), P, axis=1,
                 reverse=True)
             rows = self._flat(S)                        # (nro, C, R)
-            return jnp.moveaxis(rows, 0, 1)             # (C, nro, R)
+            rows = rows[0::2] | (rows[1::2] << 16)      # packed like K1
+            return jnp.moveaxis(rows, 0, 1)             # (C, nro/2, R)
 
-        def window_scan(digits, xyp):
+        half = NBw // 2                                 # signed-digit bound
+        n_bound = half                                  # boundaries t=1..half
+
+        def window_scan(keys, xyp):
             """Per-window: ONE radix sort carries the packed point rows as
             sort payload (measured 2-3.5x faster than argsort + random row
             gather on v5e: the sort streams its passes, the gather pays a
-            per-row latency), then K1 scan + the nb-1 digit-boundary suffix
-            rows.  Returns (A rows, lane totals, boundary lanes, validity)."""
+            per-row latency), then K1 scan + the digit-boundary suffix
+            rows.  keys = mag*2 + sign of the balanced digit; the sorted
+            key column rides into the kernel so it can negate y on signed
+            lanes.  Returns (A rows, lane totals, boundary lanes,
+            validity)."""
             res = jax.lax.sort(
-                (digits,) + tuple(xyp[i] for i in range(npk)),
+                (keys,) + tuple(xyp[i] for i in range(npk)),
                 dimension=-1, num_keys=1)
             dsort = res[0]
-            xys = jnp.stack(res[1:], axis=0)            # (npk, Np) sorted
-            xyT = (xys.reshape(npk, RL, C)
-                      .transpose(2, 0, 1))              # (C, npk, R)
+            xys = jnp.concatenate(
+                [jnp.stack(res[1:], axis=0),
+                 dsort[None].astype(U32)], axis=0)      # (npk+1, Np) sorted
+            xyT = (xys.reshape(npk + 1, RL, C)
+                      .transpose(2, 0, 1))              # (C, npk+1, R)
+            nro_p = nro // 2
             if use_pallas_scan:
                 st_all = scan(
-                    xyT.reshape(C, npk, SB, LN)).reshape(C, nro, RL)
+                    xyT.reshape(C, npk + 1, SB, LN)).reshape(C, nro_p, RL)
             else:
-                st_all = scan_xla(xyT)                  # (C, nro, R)
+                st_all = scan_xla(xyT)                  # (C, nro/2, R) packed
             stf = (st_all.transpose(0, 2, 1)
-                         .reshape(C * RL, nro))         # [c*R + r, :]
+                         .reshape(C * RL, nro_p))       # [c*R + r, :]
             tot = st_all[0]                             # lane totals (c == 0)
-            # S(t) = sum of points with digit >= t = suffix at the first
-            # sorted position with digit >= t -- valid even for absent
-            # digits, so no phantom points are needed:
-            #   sum_t S(t) = sum_i |{t <= d_i}| P_i = sum_i d_i P_i.
-            tvals = jnp.arange(1, NBw, dtype=jnp.int32)
-            fidx = jnp.searchsorted(dsort, tvals)       # (nb-1,) in [0, Np]
-            valid = fidx < Np                           # t > max digit -> 0
+            # S(t) = sum of (signed) points with |digit| >= t = suffix at
+            # the first sorted position with key >= 2t -- valid even for
+            # absent magnitudes, so no phantom points are needed:
+            #   sum_t S(t) = sum_i |d_i| sign_i P_i = sum_i d_i P_i.
+            tvals = jnp.arange(2, 2 * half + 2, 2, dtype=jnp.int32)
+            fidx = jnp.searchsorted(dsort, tvals)       # (half,) in [0, Np]
+            valid = fidx < Np                           # t > max mag -> 0
             safe = jnp.minimum(fidx, Np - 1)
             lane = (safe // C).astype(jnp.int32)
             cpos = (safe % C).astype(jnp.int32)
-            A = stf[cpos * RL + lane]                   # (nb-1, nro)
+            A = stf[cpos * RL + lane]                   # (half, nro/2)
             return A, tot, lane, valid
 
         def phase2(A_all, tot_all, lane_all, valid_all):
-            """Batched over windows: cross-lane carry + bucket tree-sum."""
+            """Batched over windows: cross-lane carry + bucket tree-sum.
+            A_all/tot_all arrive PACKED (2 limbs per u32, K1's output
+            stream format) and are unpacked here."""
             b3w = _dev_b3(self.ctx, self.b, ext, 2)
-            totP = self._unflat(tot_all.transpose(1, 0, 2))   # (nl, nw, R)
+            totP = self._unflat(
+                unpack_rows(tot_all.transpose(1, 0, 2)))  # (nl, nw, R)
             carry = _suffix_excl(f, totP, b3w, axis=-1)
-            widx = jnp.arange(nw, dtype=jnp.int32)[:, None]
+            widx = jnp.arange(A_all.shape[0], dtype=jnp.int32)[:, None]
             Cr = jax.tree.map(lambda a: a[:, widx, lane_all], carry)
-            Ap = self._unflat(A_all.transpose(2, 0, 1))       # (nl, nw, nb-1)
+            Ap = self._unflat(
+                unpack_rows(A_all.transpose(2, 0, 1)))    # (nl, nw, half)
             S = rcb.rcb_add(f, Ap, Cr, b3w)
             S = rcb.rcb_select(f, valid_all, S, rcb.rcb_zero(f, (1, 1)))
+            # pad to a power of two for the halving tree
+            width = jax.tree.leaves(S)[0].shape[-1]
+            pow2 = 1 << (width - 1).bit_length()
             ident = rcb.rcb_zero(f, (1, 1))
-            S = jax.tree.map(
-                lambda a, i: jnp.concatenate(
-                    [a, jnp.broadcast_to(i, a.shape[:-1] + (1,))], axis=-1),
-                S, ident)
+            if pow2 != width:
+                S = jax.tree.map(
+                    lambda a, i: jnp.concatenate(
+                        [a, jnp.broadcast_to(
+                            i, a.shape[:-1] + (pow2 - width,))], axis=-1),
+                    S, ident)
             W = _tree_sum(f, S, b3w, axis=-1)
             return self._flat(jax.tree.map(lambda a: a[..., 0], W))
 
         def msm_all(px, py, pinf, scalars):
             scal = jnp.where(pinf[None, :], jnp.zeros_like(scalars), scalars)
             digits = scal.astype(jnp.int32)
+            # balanced signed recode: digit d -> d - NBw*(d > NBw/2), carry
+            # into the next window; |digit| <= NBw/2 halves the bucket
+            # range, so boundary rows, searchsorted and the tree-sum all
+            # halve.  The top window never overflows for < cw*nw-bit
+            # scalars (bn254: 254 < 256).
+            keys = []
+            cin = jnp.zeros(digits.shape[-1], jnp.int32)
+            for w in range(nw):
+                d = digits[w] + cin
+                neg = d > half
+                cin = neg.astype(jnp.int32)
+                mag = jnp.where(neg, NBw - d, d)
+                keys.append(mag * 2 + neg)
+            if self.fr.p.bit_length() >= self.cw * nw:
+                # scalars may fill every window: the final recode carry
+                # needs its own window (skipped when p < 2^(cw*nw - 1), the
+                # production bn254/bls12-381 cw=16 nw=16 case)
+                keys.append(cin * 2)
+            keys = jnp.stack(keys)
             xyp = self._xy_packed(px, py, pinf)
             A_all, tot_all, lane_all, valid_all = jax.lax.map(
-                lambda d: window_scan(d, xyp), digits)
+                lambda k: window_scan(k, xyp), keys)
             return phase2(A_all, tot_all, lane_all, valid_all)
 
         self._prog_cache[key] = msm_all
