@@ -901,14 +901,37 @@ def _host_ifft_threshold() -> int:
 
 
 def group_lagrange_lem(cv, lem: bytes, n: int, g2: bool,
-                       force_device: bool = False) -> bytes:
+                       force_device: bool = False, mesh=None) -> bytes:
     """G.lagrangeEvaluations on a LEM slice: group IFFT -> Lagrange-basis
-    points [L_j(tau) G]_j (device)."""
+    points [L_j(tau) G]_j (device).
+
+    mesh: jax.sharding.Mesh with axis 'd' — runs the four-step sharded
+    group NTT (parallel.sharded.group_intt_sharded) when the size is
+    mesh-divisible; the north-star power-24 preparePhase2 config."""
     fq, fr = cv.fq, cv.fr
     k = n.bit_length() - 1
     assert 1 << k == n
     if n == 1:
         return lem[: (4 if g2 else 2) * fq.n8]
+    if mesh is not None and n >= (4 * mesh.shape["d"]) ** 2:
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel import sharded
+
+        if g2:
+            x, y, inf = pcodec.g2_lem_from_bytes(fq, lem, n)
+        else:
+            x, y, inf = pcodec.g1_lem_from_bytes(fq, lem, n)
+        jj = lambda a: jax.tree.map(jnp.asarray, a)
+        ox, oy, oinf = sharded.group_intt_sharded(
+            mesh, cv, g2, jj(x), jj(y), jnp.asarray(inf))
+        if g2:
+            return pcodec.g2_lem_to_bytes(
+                fq, tuple(np.asarray(c) for c in ox),
+                tuple(np.asarray(c) for c in oy), np.asarray(oinf))
+        return pcodec.g1_lem_to_bytes(fq, np.asarray(ox), np.asarray(oy),
+                                      np.asarray(oinf))
     if n <= _host_ifft_threshold() and not force_device:
         conv_in = pcodec.g2_lem_to_ints if g2 else pcodec.g1_lem_to_ints
         conv_out = pcodec.g2_lem_from_ints if g2 else pcodec.g1_lem_from_ints
@@ -927,8 +950,11 @@ def group_lagrange_lem(cv, lem: bytes, n: int, g2: bool,
                                   np.asarray(oinf))
 
 
-def prepare_phase2(pt: PtauFile, logger=None) -> PtauFile:
-    """Append Lagrange sections 12-15 (src/powersoftau_preparephase2.js)."""
+def prepare_phase2(pt: PtauFile, logger=None, mesh=None) -> PtauFile:
+    """Append Lagrange sections 12-15 (src/powersoftau_preparephase2.js).
+
+    mesh: optional jax.sharding.Mesh with axis 'd' — large powers run the
+    four-step sharded group NTT across the mesh (SURVEY 3.4 north star)."""
     cv = pt.curve
     fq = cv.fq
     new = PtauFile(cv, pt.power, pt.ceremony_power,
@@ -949,7 +975,7 @@ def prepare_phase2(pt: PtauFile, logger=None) -> PtauFile:
                 lem = bytes(pt.sections[old_sid][:(n - 1) * sz]) + b"\0" * sz
             else:
                 lem = pt.sections[old_sid][:n * sz]
-            out += group_lagrange_lem(cv, lem, n, g2)
+            out += group_lagrange_lem(cv, lem, n, g2, mesh=mesh)
         new.sections[new_sid] = bytes(out)
     return new
 

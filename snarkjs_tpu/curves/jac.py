@@ -118,6 +118,28 @@ def batch_scalar_mul(f, P, scalar_bits):
     return acc
 
 
+def batch_scalar_mul_limbs(f, P, limbs, nbits):
+    """k_i * P_i with per-point scalars given as (NL, *batch) 16-bit limbs.
+
+    Extracts each bit inside the fori_loop body (dynamic limb index +
+    shift), so no (nbits, *batch) bit array is ever materialized — at
+    2^24-point group NTTs that array alone would be tens of GB."""
+    bs = f.batch_shape(P[0])
+
+    def body(i, acc):
+        bitpos = nbits - 1 - i
+        li = bitpos // 16
+        sh = bitpos % 16
+        limb = jax.lax.dynamic_index_in_dim(limbs, li, 0, keepdims=False)
+        bit = (limb >> sh.astype(limb.dtype)) & 1
+        acc = jac_dbl(f, acc)
+        added = jac_add(f, acc, P)
+        return jac_select(f, bit != 0, added, acc)
+
+    acc0 = jac_zero(f, bs)
+    return jax.lax.fori_loop(0, nbits, body, acc0)
+
+
 def scalar_bits_from_limbs(scalars, nbits):
     """(NL, N) 16-bit limb scalars -> (nbits, N) bit array, MSB first."""
     nl, n = scalars.shape

@@ -182,3 +182,155 @@ def _ntt_axis(ctx, x, axis_len, inverse, over_axis):
                              axis=-1)
     x2 = x2.reshape((nl,) + lead + (axis_len,))
     return jnp.moveaxis(x2, -1, over_axis)
+
+
+# ---------------- sharded four-step GROUP NTT (preparePhase2) ----------------
+
+@functools.lru_cache(maxsize=None)
+def _root_ladder(fr_name: str, k: int):
+    """Factored powers of the inverse 2^k-th root: root^e =
+    mont_mul(A[:, e & (s1-1)], B[:, e >> log_s1]) in PLAIN form
+    (A Montgomery, B plain).  Tables stay O(sqrt(n)) so powers up to
+    2^28 never materialize host-side."""
+    from ..fields.params import get_params
+
+    fp = get_params(fr_name)
+    n = 1 << k
+    root = fp.winv[k]
+    log_s1 = (k + 1) // 2
+    s1 = 1 << log_s1
+    nb = -(-n // s1)
+    A = np.stack([fjnp.np_from_int(fp, fp.to_mont(pow(root, t, fp.p)))
+                  for t in range(s1)], axis=-1)
+    B = np.stack([fjnp.np_from_int(fp, pow(root, s1 * u, fp.p))
+                  for u in range(nb)], axis=-1)
+    return log_s1, s1, A, B
+
+
+def _ladder_limbs(frctx, k, e):
+    """Plain limb scalars root^e for an int32 exponent array e (mod 2^k)."""
+    log_s1, s1, A, B = _root_ladder(frctx.fp.name, k)
+    At = jnp.asarray(A)
+    Bt = jnp.asarray(B)
+    return fjnp.mont_mul(frctx, At[:, e & (s1 - 1)], Bt[:, e >> log_s1])
+
+
+def _group_ntt_last(f, frctx, P, k, kglob=None):
+    """Batched inverse group NTT (size 2^k) along the LAST axis of
+    jacobian leaves (nl, *batch, 2^k); NO 1/len scaling (caller applies
+    1/n once).  Same compile-light shape as ceremony._group_intt_fn: one
+    fori_loop stage body, iota-derived butterfly indices, ladder twiddles.
+
+    kglob: the root order the ladder indexes (defaults to k) — lets the
+    caller reuse one 2^k ladder for sub-transforms of size 2^k' by
+    scaling exponents.
+    """
+    from ..ntt.ntt import bit_reverse_perm
+
+    fr = frctx.fp
+    nbits = fr.p.bit_length()
+    n = 1 << k
+    h = n // 2
+    kg = k if kglob is None else kglob
+    step = 1 << (kg - k)        # exponent stride inside the global ladder
+
+    perm = jnp.asarray(bit_reverse_perm(k))
+    P = jax.tree.map(lambda a: a[..., perm], P)
+    j = jnp.arange(h, dtype=jnp.int32)
+    q = jnp.arange(n, dtype=jnp.int32)
+
+    def stage(i, P):
+        off = j & ((1 << i) - 1)
+        lo_idx = ((j >> i) << (i + 1)) | off
+        hi_idx = lo_idx + (1 << i)
+        e = (off << (k - 1 - i)) * step
+        tw = _ladder_limbs(frctx, kg, e)              # (nl_r, h)
+        lo = jax.tree.map(lambda a: a[..., lo_idx], P)
+        hi = jax.tree.map(lambda a: a[..., hi_idx], P)
+        t = jac.batch_scalar_mul_limbs(f, hi, tw, nbits)
+        top = jac.jac_add(f, lo, t)
+        bot = jac.jac_add(f, lo, jac.jac_neg(f, t))
+        cat = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=-1),
+                           top, bot)
+        jq = ((q >> (i + 1)) << i) | (q & ((1 << i) - 1))
+        cat_idx = jq + h * ((q >> i) & 1)
+        return jax.tree.map(lambda a: a[..., cat_idx], cat)
+
+    return jax.lax.fori_loop(0, k, stage, P)
+
+
+def group_intt_sharded(mesh: Mesh, cv, g2: bool, px, py, pinf):
+    """Inverse group NTT (G.ifft / lagrangeEvaluations) of 2^k affine
+    points, four-step sharded over mesh axis 'd' (the reference's
+    heaviest ceremony op, src/powersoftau_preparephase2.js:67-139).
+
+    Stage A: size-n1 batched group INTTs on column shards; twiddle
+    root^(k1*i2) scalar-muls; all-to-all transpose; stage B: size-n2
+    INTTs; 1/n scaling.  Returns affine (x, y, inf) in natural order —
+    identical points to ceremony.host_group_ifft / _group_intt_fn.
+    """
+    from ..curves.gops import FqOps, Fq2Ops
+
+    axis = "d"
+    ndev = mesh.shape[axis]
+    fqctx = fjnp.get_ctx(cv.fq.name)
+    frctx = fjnp.get_ctx(cv.fr.name)
+    f = Fq2Ops(fqctx) if g2 else FqOps(fqctx)
+    fr = frctx.fp
+    nbits = fr.p.bit_length()
+    nl = cv.fq.nl
+    n = pinf.shape[-1]
+    k = n.bit_length() - 1
+    assert 1 << k == n
+    k1l = k // 2
+    n1 = 1 << k1l
+    n2 = n >> k1l
+    k2l = k - k1l
+    assert n2 % ndev == 0 and n1 % ndev == 0, "mesh must divide both factors"
+    n2loc = n2 // ndev
+    ninv_limbs = jnp.asarray(
+        fjnp.np_from_int(fr, pow(n, fr.p - 2, fr.p))).reshape(fr.nl, 1, 1)
+
+    def local(xm, ym, infm):
+        # leaves (nl, n1, n2loc): full columns of the i1 x i2 matrix
+        P = jac.from_affine(f, xm, ym, infm)
+        P = _group_ntt_last(
+            f, frctx, jax.tree.map(lambda a: jnp.swapaxes(a, -1, -2), P),
+            k1l, kglob=k)                              # transform over i1
+        # twiddle root^(k1 * i2_global); exponents mod n = 2^k wrap in u32
+        i2g = (jax.lax.axis_index(axis) * n2loc
+               + jnp.arange(n2loc, dtype=jnp.int32))
+        k1v = jnp.arange(n1, dtype=jnp.int32)
+        e = ((k1v[None, :] * i2g[:, None])
+             & jnp.int32(n - 1))                       # (n2loc, n1)
+        tw = _ladder_limbs(frctx, k, e)                # (nl_r, n2loc, n1)
+        P = jac.batch_scalar_mul_limbs(f, P, tw, nbits)
+        # global transpose; leaves currently (nl, n2loc, n1)
+        P = jax.tree.map(
+            lambda a: jax.lax.all_to_all(a, axis, split_axis=2,
+                                         concat_axis=1, tiled=True), P)
+        # now (nl, n2, n1/ndev): transform over i2 (axis -2) per row k1
+        P = jax.tree.map(lambda a: jnp.swapaxes(a, -1, -2), P)
+        P = _group_ntt_last(f, frctx, P, k2l, kglob=k)
+        P = jac.batch_scalar_mul_limbs(f, P, ninv_limbs, nbits)
+        return jac.to_affine_batch(f, P, f.batch_inv)
+
+    resh = lambda a: a.reshape(a.shape[:-1] + (n1, n2))
+    xm = jax.tree.map(resh, px)
+    ym = jax.tree.map(resh, py)
+    infm = pinf.reshape(n1, n2)
+    arr_spec = P(None, None, axis)
+    out = shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: arr_spec, xm),
+                  jax.tree.map(lambda _: arr_spec, ym), P(None, axis)),
+        out_specs=(jax.tree.map(lambda _: P(None, axis, None), xm),
+                   jax.tree.map(lambda _: P(None, axis, None), ym),
+                   P(axis, None)),
+        check_vma=False,
+    )(xm, ym, infm)
+    ox, oy, oinf = out
+    # y[k1, k2] = X[k1 + n1*k2] -> natural order
+    tonat = lambda a: jnp.swapaxes(a, -1, -2).reshape(a.shape[:-2] + (n,))
+    return (jax.tree.map(tonat, ox), jax.tree.map(tonat, oy),
+            jnp.swapaxes(oinf, -1, -2).reshape(n))

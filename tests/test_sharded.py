@@ -56,3 +56,31 @@ def test_msm_sharded_matches_local(mesh):
     for p, k in zip(pts, scal):
         want = hc.g1_add(cv, want, hc.g1_mul(cv, p, k))
     assert got == want
+
+
+def test_group_intt_sharded_matches_host(mesh):
+    """Four-step sharded group INTT == host bigint IFFT (preparePhase2's
+    heavy op, reference src/powersoftau_preparephase2.js:67-139)."""
+    import jax.numpy as jnp
+
+    from snarkjs_tpu.ceremony import ptau_ops as ops
+    from snarkjs_tpu.formats import points as pcodec
+
+    cv = hc.BN254
+    fr, fq = cv.fr, cv.fq
+    k = 6
+    n = 1 << k
+    tau = 55443322
+    pts = [hc.g1_mul(cv, cv.g1, pow(tau, i, fr.p)) for i in range(n)]
+    pts[5] = None  # infinity inside the input
+    want = ops.host_group_ifft(cv, False, pts, k)
+    px = jnp.asarray(fjnp.np_from_ints(
+        fq, [fq.to_mont(p[0]) if p else 0 for p in pts]))
+    py = jnp.asarray(fjnp.np_from_ints(
+        fq, [fq.to_mont(p[1]) if p else 0 for p in pts]))
+    pinf = jnp.asarray(np.array([p is None for p in pts]))
+    ox, oy, oinf = sharded.group_intt_sharded(mesh, cv, False, px, py, pinf)
+    got_b = pcodec.g1_lem_to_bytes(fq, np.asarray(ox), np.asarray(oy),
+                                   np.asarray(oinf))
+    got = pcodec.g1_lem_to_ints(fq, got_b, n)
+    assert got == want
