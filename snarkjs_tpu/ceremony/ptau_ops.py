@@ -965,7 +965,7 @@ def prepare_phase2(pt: PtauFile, logger=None, mesh=None) -> PtauFile:
                                        (4, 14, False, "alphaTauG1"),
                                        (5, 15, False, "betaTauG1")):
         sz = (4 if g2 else 2) * fq.n8
-        out = bytearray()
+        out = SpooledOut()   # spills past the threshold: bounded RSS
         max_p = pt.power + (1 if old_sid == 2 else 0)
         for p in range(0, max_p + 1):
             if logger:
@@ -975,8 +975,8 @@ def prepare_phase2(pt: PtauFile, logger=None, mesh=None) -> PtauFile:
                 lem = bytes(pt.sections[old_sid][:(n - 1) * sz]) + b"\0" * sz
             else:
                 lem = pt.sections[old_sid][:n * sz]
-            out += group_lagrange_lem(cv, lem, n, g2, mesh=mesh)
-        new.sections[new_sid] = bytes(out)
+            out.write(group_lagrange_lem(cv, lem, n, g2, mesh=mesh))
+        new.sections[new_sid] = out.finish()
     return new
 
 

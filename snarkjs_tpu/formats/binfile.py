@@ -118,19 +118,31 @@ class SectionReader:
 
 
 class BinFileWriter:
+    """Section-list writer.  Payloads may be bytes OR buffer views
+    (memoryview / mmap, e.g. SpooledOut.finish() results), which are
+    never copied until written — `save` streams them to disk in bounded
+    chunks, so a multi-GB artifact needs no whole-file RAM image
+    (reference binfileutils startWriteSection/endWriteSection,
+    build/browser.esm.js:983-1001)."""
+
+    _CHUNK = 16 * 1024 * 1024
+
     def __init__(self, ftype: str, version: int = 1):
         self.ftype = ftype
         self.version = version
-        self.chunks: list[tuple[int, bytes]] = []
+        self.chunks: list[tuple[int, object]] = []
 
-    def add_section(self, stype: int, payload: bytes):
-        self.chunks.append((stype, bytes(payload)))
+    def add_section(self, stype: int, payload):
+        self.chunks.append((stype, payload))
+
+    def _header(self) -> bytes:
+        return (self.ftype.encode()[:4].ljust(4, b"\0")
+                + struct.pack("<I", self.version)
+                + struct.pack("<I", len(self.chunks)))
 
     def tobytes(self) -> bytes:
         out = io.BytesIO()
-        out.write(self.ftype.encode()[:4].ljust(4, b"\0"))
-        out.write(struct.pack("<I", self.version))
-        out.write(struct.pack("<I", len(self.chunks)))
+        out.write(self._header())
         for stype, payload in self.chunks:
             out.write(struct.pack("<I", stype))
             out.write(struct.pack("<Q", len(payload)))
@@ -138,8 +150,73 @@ class BinFileWriter:
         return out.getvalue()
 
     def save(self, path: str):
+        import mmap as _mmap
+
         with open(path, "wb") as f:
-            f.write(self.tobytes())
+            f.write(self._header())
+            for stype, payload in self.chunks:
+                f.write(struct.pack("<I", stype))
+                f.write(struct.pack("<Q", len(payload)))
+                mv = memoryview(payload)
+                mm = payload if isinstance(payload, _mmap.mmap) else (
+                    mv.obj if isinstance(mv.obj, _mmap.mmap) else None)
+                for off in range(0, len(mv), self._CHUNK):
+                    f.write(mv[off:off + self._CHUNK])
+                    if mm is not None and hasattr(mm, "madvise"):
+                        # spool-backed pages are dropped as they stream
+                        # out, so peak RSS stays O(chunk) for any size
+                        mm.madvise(_mmap.MADV_DONTNEED, off,
+                                   min(self._CHUNK, len(mv) - off))
+
+
+class StreamingBinFileWriter:
+    """True streaming writer: open -> start_section/write.../end_section
+    -> close.  Section sizes are patched after the payload streams out,
+    so producer code can emit device chunks straight to disk with O(chunk)
+    memory at any artifact size (the reference's 2^28 / ~97 GB regime,
+    reference src/mpc_applykey.js:30-47)."""
+
+    def __init__(self, path: str, ftype: str, version: int = 1,
+                 n_sections: int | None = None):
+        self.f = open(path, "wb")
+        self.f.write(ftype.encode()[:4].ljust(4, b"\0"))
+        self.f.write(struct.pack("<I", version))
+        self._nsec_pos = self.f.tell()
+        self.f.write(struct.pack("<I", n_sections or 0))
+        self._n = 0
+        self._size_pos = None
+
+    def start_section(self, stype: int):
+        assert self._size_pos is None, "previous section still open"
+        self.f.write(struct.pack("<I", stype))
+        self._size_pos = self.f.tell()
+        self.f.write(struct.pack("<Q", 0))
+
+    def write(self, b):
+        assert self._size_pos is not None, "no open section"
+        self.f.write(b)
+
+    def end_section(self):
+        end = self.f.tell()
+        size = end - self._size_pos - 8
+        self.f.seek(self._size_pos)
+        self.f.write(struct.pack("<Q", size))
+        self.f.seek(end)
+        self._size_pos = None
+        self._n += 1
+
+    def close(self):
+        assert self._size_pos is None, "section still open"
+        self.f.seek(self._nsec_pos)
+        self.f.write(struct.pack("<I", self._n))
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if not self.f.closed:
+            self.close()
 
 
 class SectionWriter:

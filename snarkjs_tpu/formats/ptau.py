@@ -274,13 +274,21 @@ class PtauFile:
             payloads += [(sid, self.sections[sid])
                          for sid in sorted(self.sections)]
             payloads.append((7, cw.tobytes()))
+            import mmap as _mmap
+
             f.write(_struct.pack("<I", len(payloads)))
             for sid, payload in payloads:
                 mv = memoryview(payload)
+                mm = payload if isinstance(payload, _mmap.mmap) else (
+                    mv.obj if isinstance(mv.obj, _mmap.mmap) else None)
                 f.write(_struct.pack("<I", sid))
                 f.write(_struct.pack("<Q", len(mv)))
                 for off in range(0, len(mv), CH):
                     f.write(mv[off:off + CH])
+                    if mm is not None and hasattr(mm, "madvise"):
+                        # drop spool-backed pages as they stream out
+                        mm.madvise(_mmap.MADV_DONTNEED, off,
+                                   min(CH, len(mv) - off))
 
     def last_challenge(self) -> bytes:
         if self.contributions:
