@@ -114,6 +114,18 @@ def read_groth16_zkey(path_or_bytes) -> Groth16Zkey:
         "s": head[:, 2].astype(np.int32),
         "val": vals,  # value * R^2 (mod r) — see module docstring
     }
+    # the prover's conflict-free segment_sum (protocols/groth16.py) relies
+    # on < 2^16 terms per (matrix, constraint) for exact uint32 limb sums;
+    # a pathological circuit would silently corrupt the QAP, so reject it
+    # here (VERDICT r4 weak 9)
+    if n_coefs:
+        per_seg = np.bincount(
+            coeffs["c"] * 2 + coeffs["m"],
+            minlength=1)
+        if per_seg.max() >= (1 << 16):
+            raise ValueError(
+                f"constraint with {per_seg.max()} coefficients exceeds the "
+                "2^16 segment-sum bound")
 
     a_points = points.g1_lem_from_bytes(fq, bf.read_section(5), n_vars)
     b1_points = points.g1_lem_from_bytes(fq, bf.read_section(6), n_vars)

@@ -202,3 +202,64 @@ def extend_evaluations(ctx: FieldCtx, coeffs, factor: int = 4):
     nl, n = coeffs.shape
     pad = jnp.zeros((nl, (factor - 1) * n), dtype=coeffs.dtype)
     return ntt(ctx, jnp.concatenate([coeffs, pad], axis=1))
+
+
+# --------- one level beyond the field's 2-adicity (size 2^(s+1)) ---------
+
+def _mont_scalar(ctx: FieldCtx, v: int):
+    fp = ctx.fp
+    return jnp.asarray(fjnp.np_from_int(fp, fp.to_mont(v % fp.p))).reshape(
+        fp.nl, 1)
+
+
+def intt_union(ctx: FieldCtx, a, s_log: int | None = None,
+               shift: int | None = None):
+    """Inverse transform of size 2m = 2^(slog+1) over the UNION domain
+    D = H ∪ shift*H (H = the 2^slog roots of unity) — the reference's
+    shift decomposition for sizes one level past the field's 2-adicity
+    (algorithm at reference src/powersoftau_preparephase2.js:91-138;
+    size guard src/groth16_prove.js:64).
+
+        t0_i = (t_i*shift^m - t_{m+i}) / (shift^m - 1)
+        t1_i = (t_{m+i} - t_i) * shift^-i / (shift^m - 1)
+        out  = [intt(t0), intt(t1)]
+
+    a: (NL, 2m) evaluations [f(w^i)..., f(shift*w^i)...], Montgomery.
+    Returns the two coefficient blocks concatenated, the exact section
+    layout the reference's preparePhase2 would write at power s+1.
+    """
+    fp = ctx.fp
+    s_log = fp.s if s_log is None else s_log
+    shift = fp.shift if shift is None else shift
+    n = a.shape[-1]
+    m = n // 2
+    assert m == 1 << s_log, "size must be 2^(s_log+1)"
+    p = fp.p
+    S = pow(shift, m, p)
+    d = pow((S - 1) % p, p - 2, p)
+    t, tm = a[:, :m], a[:, m:]
+    Sm = _mont_scalar(ctx, S)
+    dm = _mont_scalar(ctx, d)
+    t0 = fjnp.mont_mul(ctx, fjnp.sub(ctx, fjnp.mont_mul(ctx, t, Sm), tm), dm)
+    sinv = pow(shift, p - 2, p)
+    t1 = apply_powers(ctx, fjnp.sub(ctx, tm, t), d, sinv)
+    return jnp.concatenate([intt(ctx, t0), intt(ctx, t1)], axis=-1)
+
+
+def ntt_union(ctx: FieldCtx, a, s_log: int | None = None,
+              shift: int | None = None):
+    """Forward counterpart of intt_union: coefficient blocks [c0, c1] ->
+    evaluations on H ∪ shift*H:  t_i = u_i + shift^i*v_i,
+    t_{m+i} = u_i + shift^m*shift^i*v_i  with u = ntt(c0), v = ntt(c1)."""
+    fp = ctx.fp
+    s_log = fp.s if s_log is None else s_log
+    shift = fp.shift if shift is None else shift
+    n = a.shape[-1]
+    m = n // 2
+    assert m == 1 << s_log, "size must be 2^(s_log+1)"
+    S = pow(shift, m, fp.p)
+    u = ntt(ctx, a[:, :m])
+    v = apply_powers(ctx, ntt(ctx, a[:, m:]), 1, shift)
+    t = fjnp.add(ctx, u, v)
+    tm = fjnp.add(ctx, u, fjnp.mont_mul(ctx, v, _mont_scalar(ctx, S)))
+    return jnp.concatenate([t, tm], axis=-1)

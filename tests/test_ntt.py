@@ -75,3 +75,47 @@ def test_extend_evaluations():
     want = [sum(c * pow(w4, i * j, fp.p) for j, c in enumerate(vals)) % fp.p
             for i in range(4 * n)]
     assert got == want
+
+
+def test_union_domain_ntt_roundtrip_and_host():
+    """Size-2^(s+1) shift decomposition (reference
+    src/powersoftau_preparephase2.js:91-138) checked with an artificially
+    small s (the real s=28 size is 2^29 elements): device roundtrip and
+    bigint cross-check of the t0/t1 split."""
+    import random
+
+    from snarkjs_tpu.fields import fjnp
+    from snarkjs_tpu.ntt import ntt as nttmod
+
+    ctx = fjnp.get_ctx("bn254_fr")
+    fp = ctx.fp
+    p = fp.p
+    s_log, m = 3, 8
+    n = 2 * m
+    rng = random.Random(77)
+    vals = [rng.randrange(p) for _ in range(n)]
+    a = fjnp.to_mont(ctx, fjnp.np_from_ints(fp, vals))
+
+    coeffs = nttmod.intt_union(ctx, a, s_log=s_log)
+    back = nttmod.ntt_union(ctx, coeffs, s_log=s_log)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
+
+    # host bigint version of the reference's split formulas
+    shift = fp.shift % p
+    S = pow(shift, m, p)
+    d = pow((S - 1) % p, p - 2, p)
+    sinv = pow(shift, p - 2, p)
+    t, tm = vals[:m], vals[m:]
+    t0 = [(t[i] * S - tm[i]) % p * d % p for i in range(m)]
+    t1 = [(tm[i] - t[i]) % p * pow(sinv, i, p) % p * d % p for i in range(m)]
+
+    w = fp.w[s_log]
+    ninv = pow(m, p - 2, p)
+
+    def host_intt(xs):
+        return [sum(x * pow(w, (-i * j) % (p - 1), p) for j, x in
+                    enumerate(xs)) * ninv % p for i in range(m)]
+
+    want = host_intt(t0) + host_intt(t1)
+    got = fjnp.np_to_ints(fp, np.asarray(fjnp.from_mont(ctx, coeffs)))
+    assert got == want

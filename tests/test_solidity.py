@@ -92,3 +92,45 @@ def test_fflonk_verifier_constants_match_reference_fixture():
         if want is None:
             continue          # reference template names it differently
         assert grab(src, name) == want, name
+
+
+def test_golden_contract_renders():
+    """Full-text golden pin of all three rendered verifier contracts (no
+    solc/EVM exists in this image, so the render is frozen instead: any
+    template or vkey-constant regression diffs loudly — reference oracle
+    smart_contract_tests/test/smart_contracts.test.js:12-80 runs them
+    under hardhat)."""
+    import importlib.util
+
+    from snarkjs_tpu.export import solidity
+    from snarkjs_tpu.formats import zkey as zf
+    from snarkjs_tpu.protocols import fflonk, groth16, groth16_setup, plonk
+
+    spec = importlib.util.spec_from_file_location(
+        "graft", os.path.join(os.path.dirname(__file__), "..",
+                              "__graft_entry__.py"))
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+
+    gold = os.path.join(os.path.dirname(__file__), "golden")
+
+    cv, r1cs, wit = g._tiny_circuit(40)
+    zkg = groth16_setup.setup_from_secrets(
+        r1cs, tau=0xABCDE, alpha=5, beta=7, gamma=1, delta=11)
+    rendered = {
+        "verifier_groth16.sol": solidity.export_verifier(
+            groth16.export_verification_key(zkg)),
+        "verifier_plonk.sol": solidity.export_verifier(
+            plonk.export_verification_key(zf.read_plonk_zkey(
+                REF + "/plonk_circuit/circuit.zkey"))),
+        "verifier_fflonk.sol": solidity.export_verifier(
+            fflonk.export_verification_key(zf.read_fflonk_zkey(
+                REF + "/fflonk/circuit.zkey"))),
+    }
+    for name, text in rendered.items():
+        with open(os.path.join(gold, name)) as f:
+            assert f.read() == text, f"{name} render changed vs golden"
+        # syntactic sanity: balanced braces, pragma, no stray placeholders
+        assert text.count("{") == text.count("}")
+        assert "pragma solidity" in text
+        assert "{{" not in text and "<%" not in text and "None" not in text
