@@ -225,6 +225,89 @@ def time_groth16_prove(n_constraints=600_000):
     return dt
 
 
+def _plonkish_circuit(n_constraints):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "__graft_entry__.py"))
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+    return g._tiny_circuit(n_constraints)
+
+
+def time_plonk_prove(n_constraints=60_000):
+    """PLONK prove wall-clock, synthetic squaring chain (domain 2^16)."""
+    from snarkjs_tpu.formats import zkey as zf
+    from snarkjs_tpu.protocols import plonk, plonk_setup
+
+    t0 = time.time()
+    cv, r1cs, wit = _plonkish_circuit(n_constraints)
+    zk = zf.read_plonk_zkey(plonk_setup.setup_from_secrets(r1cs, tau=0xFEED1))
+    log(f"  plonk synthetic setup ({n_constraints} constraints, domain "
+        f"{zk.domain_size}): {time.time() - t0:.1f}s")
+    b = list(range(1, 13))
+    t0 = time.time()
+    proof, pub = plonk.prove(zk, wit, b=b)
+    log(f"  plonk prove warmup(+compile): {time.time() - t0:.1f}s")
+    t0 = time.time()
+    proof, pub = plonk.prove(zk, wit, b=b)
+    dt = time.time() - t0
+    ok = plonk.verify(plonk.export_verification_key(zk), pub, proof)
+    log(f"  plonk prove ({n_constraints} constraints): {dt:.2f} s/proof, "
+        f"verified={ok}")
+    return dt
+
+
+def time_fflonk_prove(n_constraints=60_000):
+    """FFLONK prove wall-clock (9n+18 SRS, 4 MSMs), domain 2^16."""
+    from snarkjs_tpu.formats import zkey as zf
+    from snarkjs_tpu.protocols import fflonk, fflonk_setup
+
+    t0 = time.time()
+    cv, r1cs, wit = _plonkish_circuit(n_constraints)
+    zk = zf.read_fflonk_zkey(
+        fflonk_setup.setup_from_secrets(r1cs, tau=0xFEED2))
+    log(f"  fflonk synthetic setup ({n_constraints} constraints, domain "
+        f"{zk.domain_size}): {time.time() - t0:.1f}s")
+    b = list(range(1, 11))
+    t0 = time.time()
+    proof, pub = fflonk.prove(zk, wit, b=b)
+    log(f"  fflonk prove warmup(+compile): {time.time() - t0:.1f}s")
+    t0 = time.time()
+    proof, pub = fflonk.prove(zk, wit, b=b)
+    dt = time.time() - t0
+    ok = fflonk.verify(fflonk.export_verification_key(zk), pub, proof)
+    log(f"  fflonk prove ({n_constraints} constraints): {dt:.2f} s/proof, "
+        f"verified={ok}")
+    return dt
+
+
+def time_group_lagrange(power=16):
+    """preparePhase2's group IFFT at 2^power on the current device."""
+    from snarkjs_tpu.ceremony import ptau_ops
+    from snarkjs_tpu.curves import host_curve as hc
+    from snarkjs_tpu.formats import points as pcodec
+    from snarkjs_tpu.fields import fjnp
+
+    cv = hc.BN254
+    fq = cv.fq
+    n = 1 << power
+    px, py, pinf = build_points(cv, fq, n)
+    lem = pcodec.g1_lem_to_bytes(fq, np.asarray(px), np.asarray(py),
+                                 np.asarray(pinf))
+    t0 = time.time()
+    ptau_ops.group_lagrange_lem(cv, lem, n, g2=False, force_device=True)
+    log(f"  group lagrange 2^{power} warmup(+compile): "
+        f"{time.time() - t0:.1f}s")
+    t0 = time.time()
+    ptau_ops.group_lagrange_lem(cv, lem, n, g2=False, force_device=True)
+    dt = time.time() - t0
+    log(f"  group lagrange (preparePhase2) 2^{power}: {dt:.2f} s = "
+        f"{n / dt:,.0f} points/s")
+    return dt
+
+
 def main():
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
@@ -251,6 +334,9 @@ def main():
                 time_ntt("bn254_fr", extra_log, iters=2)
         time_ntt("bls12_381_fr", log_n, iters=2)
         time_groth16_prove()
+        time_plonk_prove()
+        time_fflonk_prove()
+        time_group_lagrange()
 
     print(json.dumps({
         "metric": f"msm_g1_bn254_points_per_s_2^{log_n}",

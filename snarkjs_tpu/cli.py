@@ -10,6 +10,7 @@ zkv/zkey verify, ...).
 from __future__ import annotations
 
 import json
+import functools
 import sys
 
 
@@ -425,9 +426,29 @@ def fflonk_setup_cmd(r1cs_path, ptau_path, zkey_out, **kw):
     return 0
 
 
-def _prove(proto, zkey_path, wtns_path, proof_out, public_out, **kw):
+def _mesh_from_opt(devices):
+    """--devices N -> a 1-D jax Mesh over the first N devices (sharded
+    MSM/NTT prove path); None/1 -> single device."""
+    if not devices or int(devices) <= 1:
+        return None
+    import jax
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    n = int(devices)
+    devs = jax.devices()
+    if len(devs) < n:
+        raise ValueError(f"--devices {n}: only {len(devs)} devices visible")
+    return Mesh(_np.array(devs[:n]), ("d",))
+
+
+def _prove(proto, zkey_path, wtns_path, proof_out="proof.json",
+           public_out="public.json", devices=None, **kw):
+    """Prove with an existing zkey + witness; --devices N shards the
+    MSMs/NTTs over an N-device mesh."""
     mod = _proto_module(proto)
-    proof, publics = mod.prove_files(zkey_path, wtns_path, logger=_log())
+    proof, publics = mod.prove_files(zkey_path, wtns_path, logger=_log(),
+                                     mesh=_mesh_from_opt(devices))
     _write_json(proof_out, proof)
     _write_json(public_out, publics)
     return 0
@@ -518,17 +539,17 @@ COMMANDS = [
     (("zkey", "export", "solidityverifier"), zkey_export_solidityverifier),
     (("zkey", "export", "soliditycalldata"), zkey_export_soliditycalldata),
     (("groth16", "setup"), groth16_setup),
-    (("groth16", "prove"), lambda *a, **k: _prove("groth16", *a, **k)),
-    (("groth16", "fullprove"), lambda *a, **k: _fullprove("groth16", *a, **k)),
-    (("groth16", "verify"), lambda *a, **k: _verify("groth16", *a, **k)),
+    (("groth16", "prove"), functools.partial(_prove, "groth16")),
+    (("groth16", "fullprove"), functools.partial(_fullprove, "groth16")),
+    (("groth16", "verify"), functools.partial(_verify, "groth16")),
     (("plonk", "setup"), plonk_setup_cmd),
-    (("plonk", "prove"), lambda *a, **k: _prove("plonk", *a, **k)),
-    (("plonk", "fullprove"), lambda *a, **k: _fullprove("plonk", *a, **k)),
-    (("plonk", "verify"), lambda *a, **k: _verify("plonk", *a, **k)),
+    (("plonk", "prove"), functools.partial(_prove, "plonk")),
+    (("plonk", "fullprove"), functools.partial(_fullprove, "plonk")),
+    (("plonk", "verify"), functools.partial(_verify, "plonk")),
     (("fflonk", "setup"), fflonk_setup_cmd),
-    (("fflonk", "prove"), lambda *a, **k: _prove("fflonk", *a, **k)),
-    (("fflonk", "fullprove"), lambda *a, **k: _fullprove("fflonk", *a, **k)),
-    (("fflonk", "verify"), lambda *a, **k: _verify("fflonk", *a, **k)),
+    (("fflonk", "prove"), functools.partial(_prove, "fflonk")),
+    (("fflonk", "fullprove"), functools.partial(_fullprove, "fflonk")),
+    (("fflonk", "verify"), functools.partial(_verify, "fflonk")),
     (("file", "info"), file_info),
 ]
 
@@ -571,6 +592,8 @@ def main(argv=None) -> int:
             return 1
         for cmd, fn in matches:
             target = fn
+            while isinstance(target, functools.partial):
+                target = target.func
             while hasattr(target, "__wrapped__"):
                 target = target.__wrapped__
             try:
@@ -602,11 +625,15 @@ def main(argv=None) -> int:
     import inspect
 
     target = fn
+    while isinstance(target, functools.partial):
+        target = target.func
     while hasattr(target, "__wrapped__"):
         target = target.__wrapped__
     try:
-        sig = inspect.signature(target)
-        params = set(sig.parameters)
+        # bind against the callable's partial-aware signature (pre-bound
+        # args excluded); forward options by the unwrapped parameter names
+        sig = inspect.signature(fn)
+        params = set(inspect.signature(target).parameters)
     except (TypeError, ValueError):
         sig, params = None, set()
     kwargs = {}
