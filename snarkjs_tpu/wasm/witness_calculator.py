@@ -46,26 +46,39 @@ class WitnessCalculator:
         m = interp.Module(wasm_bytes)
         self._mod = m
 
-        host = {
-            ("runtime", "printDebug"): lambda v: None,
-            ("runtime", "exceptionHandler"): self._exception,
-            ("runtime", "printErrorMessage"): self._print_error,
-            ("runtime", "writeBufferMessage"): self._write_buffer,
-            ("runtime", "showSharedRWMemory"): self._show_shared,
-            # circom1 runtime imports
-            ("runtime", "error"): self._c1_error,
-            ("runtime", "log"): lambda a: None,
-            ("runtime", "logGetSignal"): self._log_get,
-            ("runtime", "logSetSignal"): self._log_set,
-            ("runtime", "logStartComponent"): self._log_start,
-            ("runtime", "logFinishComponent"): self._log_finish,
-            ("env", "memory"): None,
-        }
-        self.inst = interp.Instance(m, host)
-        if m.mem_pages and len(self.inst.mem) < (1 << 28):
-            # circom expects the builder-supplied big imported memory
-            self.inst.mem.extend(
-                b"\0" * ((1 << 28) - len(self.inst.mem)))
+        # the C++ VM (native/wasmvm.cpp) runs the same semantics ~100x
+        # faster; debug-logging hooks and build failures use the Python
+        # interpreter (identical results — tests compare both)
+        self.inst = None
+        if not self.hooks:
+            from . import native
+
+            if native.available():
+                try:
+                    self.inst = native.NativeInstance(wasm_bytes)
+                except Exception:
+                    self.inst = None
+        if self.inst is None:
+            host = {
+                ("runtime", "printDebug"): lambda v: None,
+                ("runtime", "exceptionHandler"): self._exception,
+                ("runtime", "printErrorMessage"): self._print_error,
+                ("runtime", "writeBufferMessage"): self._write_buffer,
+                ("runtime", "showSharedRWMemory"): self._show_shared,
+                # circom1 runtime imports
+                ("runtime", "error"): self._c1_error,
+                ("runtime", "log"): lambda a: None,
+                ("runtime", "logGetSignal"): self._log_get,
+                ("runtime", "logSetSignal"): self._log_set,
+                ("runtime", "logStartComponent"): self._log_start,
+                ("runtime", "logFinishComponent"): self._log_finish,
+                ("env", "memory"): None,
+            }
+            self.inst = interp.Instance(m, host)
+            if m.mem_pages and len(self.inst.mem) < (1 << 28):
+                # circom expects the builder-supplied big imported memory
+                self.inst.mem.extend(
+                    b"\0" * ((1 << 28) - len(self.inst.mem)))
 
         self.version = (self.inst.invoke("getVersion")
                         if "getVersion" in m.exports else 1)
