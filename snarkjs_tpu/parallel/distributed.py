@@ -53,8 +53,11 @@ def init(coordinator_address: str | None = None,
         # TPU pods self-discover through the runtime; elsewhere a single
         # process needs no cluster
         if os.environ.get("TPU_WORKER_HOSTNAMES"):
-            jax.distributed.initialize()
-            return True
+            try:
+                jax.distributed.initialize()
+                return True
+            except (ValueError, RuntimeError):
+                return False   # runtime without pod metadata: single host
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
