@@ -5,11 +5,10 @@ bench.py on hardware; these tests run the same kernels under the Pallas
 interpreter so kernel regressions surface off-chip (VERDICT r3 item 5).
 
 The full pipeline is heavy to compile on CPU, so the always-on test uses a
-reduced window width (cw=8 -> 255 phantom points, one kernel chunk) and a
-small point set; G2 and bls12-381 variants run with SNARKJS_SLOW_TESTS=1.
+reduced window width (cw=8 -> 129 signed-digit buckets, one scan chunk) and
+a small point set; G2 and bls12-381 variants are also always-on since the
+signed-digit rewrite (they share the compile-light XLA fallback path).
 """
-
-import os
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +19,6 @@ from snarkjs_tpu.curves import host_curve as hc
 from snarkjs_tpu.curves import msm as msm_mod
 from snarkjs_tpu.curves import msm_tpu
 from snarkjs_tpu.fields import fjnp
-
-SLOW = os.environ.get("SNARKJS_SLOW_TESTS") == "1"
 
 
 def _g1_points(cv, n):
@@ -88,7 +85,6 @@ def test_msm_pipeline_g1_bn254():
     assert got == _host_msm_g1(cv, pts, ints, pinf)
 
 
-@pytest.mark.skipif(not SLOW, reason="set SNARKJS_SLOW_TESTS=1")
 def test_msm_pipeline_g2_bn254():
     cv = hc.BN254
     rng = np.random.default_rng(12)
@@ -107,7 +103,6 @@ def test_msm_pipeline_g2_bn254():
     assert got == want
 
 
-@pytest.mark.skipif(not SLOW, reason="set SNARKJS_SLOW_TESTS=1")
 def test_msm_pipeline_g1_bls():
     cv = hc.BLS12_381
     rng = np.random.default_rng(13)
