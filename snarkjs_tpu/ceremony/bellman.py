@@ -195,8 +195,9 @@ def import_mpc_params(old_zkey_bytes: bytes, mpc_bytes: bytes,
         if not same:
             return err(f"Previous contribution {i} does not match")
 
-    # new delta from the MPCParams vk block
-    off = sg1 * 3 + sg2 * 2
+    # new delta from the MPCParams vk block: alpha1, beta1 (G1) then
+    # beta2, gamma2 (G2) precede it (reference src/zkey_import_bellman.js)
+    off = sg1 * 2 + sg2 * 2
     vk["delta_1"], off = _read_g1_u(fq, mpc_bytes, off)
     vk["delta_2"], off = _read_g2_u(fq, mpc_bytes, off)
 
