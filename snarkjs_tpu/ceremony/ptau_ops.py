@@ -120,6 +120,95 @@ def _apply_key_fn(fq_name: str, fr_name: str, ext: int, n: int):
     return fn
 
 
+_AK_SHARD_CACHE = {}
+
+
+def _apply_key_fn_sharded(fq_name: str, fr_name: str, ext: int, n_loc: int,
+                          mesh):
+    """batchApplyKey over a mesh: points sharded on 'd', each device gets
+    its own `first` (the power ladder restarts at its shard offset)."""
+    key = (fq_name, fr_name, ext, n_loc, id(mesh))
+    fn = _AK_SHARD_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = (jax.shard_map if hasattr(jax, "shard_map")
+                 else jax.experimental.shard_map.shard_map)
+    fqctx = fjnp.get_ctx(fq_name)
+    frctx = fjnp.get_ctx(fr_name)
+    f = FqOps(fqctx) if ext == 1 else Fq2Ops(fqctx)
+    nbits = frctx.fp.p.bit_length()
+
+    def local(px, py, pinf, first_m, inc_m):
+        factors = jnp.concatenate(
+            [first_m, jnp.broadcast_to(inc_m, (frctx.nl, n_loc - 1))],
+            axis=1) if n_loc > 1 else first_m
+        powers_m = jax.lax.associative_scan(
+            lambda a, b: fjnp.mont_mul(frctx, a, b), factors, axis=1)
+        powers = fjnp.from_mont(frctx, powers_m)
+        bits = jac.scalar_bits_from_limbs(powers, nbits)
+        Pt = jac.from_affine(f, px, py, pinf)
+        Q = jac.batch_scalar_mul(f, Pt, bits)
+        return jac.to_affine_batch(f, Q, f.batch_inv)
+
+    elem = P(None, "d")
+    xspec = elem if ext == 1 else (elem, elem)
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(xspec, xspec, P("d"), P(None, "d"), P(None, None)),
+        out_specs=(xspec, xspec, P("d")),
+        check_vma=False))
+    _AK_SHARD_CACHE[key] = fn
+    return fn
+
+
+def _apply_key_sharded(cv, lem: bytes, n: int, first: int, inc: int,
+                       mesh, ext: int) -> bytes:
+    """Mesh-sharded batchApplyKey over a LEM section (both groups)."""
+    import jax
+    import jax.numpy as jnp
+
+    fq, fr = cv.fq, cv.fr
+    ndev = mesh.shape["d"]
+    sz = (4 if ext == 2 else 2) * fq.n8
+    conv_in = pcodec.g2_lem_from_bytes if ext == 2 else pcodec.g1_lem_from_bytes
+    out = SpooledOut()
+    t = first % fr.p
+    SC = _APPLY_CHUNK * ndev
+    for i0 in range(0, n, SC):
+        m = min(SC, n - i0)
+        loc = _pad_pow2(-(-m // ndev))
+        mp = loc * ndev
+        x, y, inf = conv_in(fq, lem[i0 * sz:], m)
+        padc = lambda a: np.pad(a, ((0, 0), (0, mp - m)))
+        x = jax.tree.map(padc, x)
+        y = jax.tree.map(padc, y)
+        inf = np.pad(inf, (0, mp - m), constant_values=True)
+        firsts = fjnp.np_from_ints(
+            fr, [fr.to_mont(t * pow(inc, j * loc, fr.p) % fr.p)
+                 for j in range(ndev)])
+        im = fjnp.np_from_ints(fr, [fr.to_mont(inc)])
+        fn = _apply_key_fn_sharded(fq.name, fr.name, ext, loc, mesh)
+        ox, oy, oinf = fn(jax.tree.map(jnp.asarray, x),
+                          jax.tree.map(jnp.asarray, y),
+                          jnp.asarray(inf), jnp.asarray(firsts),
+                          jnp.asarray(im))
+        if ext == 2:
+            out.write(pcodec.g2_lem_to_bytes(
+                fq, tuple(np.asarray(c)[:, :m] for c in ox),
+                tuple(np.asarray(c)[:, :m] for c in oy),
+                np.asarray(oinf)[:m]))
+        else:
+            out.write(pcodec.g1_lem_to_bytes(
+                fq, np.asarray(ox)[:, :m], np.asarray(oy)[:, :m],
+                np.asarray(oinf)[:m]))
+        t = t * pow(inc, m, fr.p) % fr.p
+    return out.finish()
+
+
 _HOST_MAX = 64      # below this, host bigint math beats an XLA compile
 
 
@@ -130,12 +219,16 @@ def _pad_pow2(m: int, lo: int = 16) -> int:
     return p2
 
 
-def apply_key_g1(cv, lem: bytes, n: int, first: int, inc: int) -> bytes:
+def apply_key_g1(cv, lem: bytes, n: int, first: int, inc: int,
+                 mesh=None) -> bytes:
     """G1.batchApplyKey on a LEM section (device; host for tiny sections).
 
     Chunks are padded to power-of-two sizes so repeated calls share one
-    compiled kernel per size class."""
+    compiled kernel per size class.  mesh: shard points over axis 'd'
+    (ceremony contribute at large powers, SURVEY 2.10 axis 1)."""
     fq, fr = cv.fq, cv.fr
+    if mesh is not None and n > _HOST_MAX:
+        return _apply_key_sharded(cv, lem, n, first, inc, mesh, 1)
     if n <= _HOST_MAX:
         pts = pcodec.g1_lem_to_ints(fq, lem, n)
         out, t = [], first % fr.p
@@ -163,8 +256,11 @@ def apply_key_g1(cv, lem: bytes, n: int, first: int, inc: int) -> bytes:
     return out.finish()
 
 
-def apply_key_g2(cv, lem: bytes, n: int, first: int, inc: int) -> bytes:
+def apply_key_g2(cv, lem: bytes, n: int, first: int, inc: int,
+                 mesh=None) -> bytes:
     fq, fr = cv.fq, cv.fr
+    if mesh is not None and n > _HOST_MAX:
+        return _apply_key_sharded(cv, lem, n, first, inc, mesh, 2)
     if n <= _HOST_MAX:
         pts = pcodec.g2_lem_to_ints(fq, lem, n)
         out, t = [], first % fr.p
@@ -298,7 +394,8 @@ def new_accumulator(cv, power: int) -> PtauFile:
 
 
 def contribute(pt: PtauFile, name: str = "", entropy=None,
-               rng: ChaCha | None = None, logger=None) -> tuple[PtauFile, bytes]:
+               rng: ChaCha | None = None, logger=None,
+               mesh=None) -> tuple[PtauFile, bytes]:
     """MPC contribution: scale all sections by the new key's powers
     (src/powersoftau_contribute.js:33-117).  Returns (new ptau, responseHash).
     """
@@ -311,11 +408,12 @@ def contribute(pt: PtauFile, name: str = "", entropy=None,
         rng = random_rng(entropy)
     key = keypair.create_ptau_key(cv, last_challenge, rng)
     return _apply_contribution(pt, key, Contribution(name=name,
-                                                     type=CONTRIB_MPC))
+                                                     type=CONTRIB_MPC),
+                               mesh=mesh)
 
 
 def beacon(pt: PtauFile, beacon_hash: bytes, num_iterations_exp: int,
-           name: str = "", logger=None) -> tuple[PtauFile, bytes]:
+           name: str = "", logger=None, mesh=None) -> tuple[PtauFile, bytes]:
     """Deterministic beacon contribution (src/powersoftau_beacon.js)."""
     cv = pt.curve
     if not (0 < num_iterations_exp < 64):
@@ -325,7 +423,7 @@ def beacon(pt: PtauFile, beacon_hash: bytes, num_iterations_exp: int,
     contrib = Contribution(name=name, type=CONTRIB_BEACON,
                            num_iterations_exp=num_iterations_exp,
                            beacon_hash=beacon_hash)
-    return _apply_contribution(pt, key, contrib)
+    return _apply_contribution(pt, key, contrib, mesh=mesh)
 
 
 def _hash_section(hasher, cv, lem, n: int, g2: bool, conv):
@@ -338,7 +436,8 @@ def _hash_section(hasher, cv, lem, n: int, g2: bool, conv):
         hasher.update(conv(cv, mv[i0 * sz:(i0 + m) * sz], m, g2))
 
 
-def _apply_contribution(pt: PtauFile, key: dict, contrib: Contribution):
+def _apply_contribution(pt: PtauFile, key: dict, contrib: Contribution,
+                        mesh=None):
     cv = pt.curve
     fr = cv.fr
     tau = key["tau"]["prvKey"]
@@ -356,7 +455,7 @@ def _apply_contribution(pt: PtauFile, key: dict, contrib: Contribution):
     for sid, g2, n, _name in _sections(pt.power):
         first = {2: 1, 3: 1, 4: alpha, 5: beta_, 6: beta_}[sid]
         ap = apply_key_g2 if g2 else apply_key_g1
-        out = ap(cv, pt.sections[sid], n, first, tau)
+        out = ap(cv, pt.sections[sid], n, first, tau, mesh=mesh)
         new.sections[sid] = out
         _hash_section(response_h, cv, out, n, g2, lem_to_c)
         if g2:

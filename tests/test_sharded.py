@@ -84,3 +84,20 @@ def test_group_intt_sharded_matches_host(mesh):
                                    np.asarray(oinf))
     got = pcodec.g1_lem_to_ints(fq, got_b, n)
     assert got == want
+
+
+def test_apply_key_sharded_matches_local(mesh):
+    """Mesh-sharded batchApplyKey == single-device result (ceremony
+    contribute, reference src/powersoftau_contribute.js:119-158)."""
+    from snarkjs_tpu.ceremony import ptau_ops
+    from snarkjs_tpu.formats import points as pcodec
+
+    cv = hc.BN254
+    fq = cv.fq
+    n = 300
+    pts = [hc.g1_mul(cv, cv.g1, 7 + i) for i in range(n)]
+    lem = pcodec.g1_lem_from_ints(fq, pts)
+    first, inc = 987654, 13579
+    want = ptau_ops.apply_key_g1(cv, lem, n, first, inc)
+    got = ptau_ops.apply_key_g1(cv, lem, n, first, inc, mesh=mesh)
+    assert bytes(got) == bytes(want)
