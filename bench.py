@@ -225,6 +225,39 @@ def time_groth16_prove(n_constraints=600_000):
     return dt
 
 
+def check_msm_sharded_cw16(cv, log_n=12):
+    """Production run_sharded at cw=16 on a 1-device mesh of the real
+    chip vs host bigints (the multi-chip code path, minus the ICI)."""
+    from jax.sharding import Mesh
+
+    from snarkjs_tpu.curves import host_curve as hc
+    from snarkjs_tpu.curves import msm as msm_mod
+    from snarkjs_tpu.curves import msm_tpu
+
+    fr, fq = cv.fr, cv.fq
+    n = 1 << log_n
+    scalars, ints = build_scalars(fr, n)
+    px, py, pinf = build_points(cv, fq, n)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("d",))
+    m = msm_tpu.get_msm(cv.name, "g1")
+    got = msm_mod.host_jac_to_affine(
+        fq, m.run_sharded(mesh, px, py, pinf, scalars))
+    distinct = 512
+    agg = {}
+    for i in range(n):
+        agg[i % distinct] = (agg.get(i % distinct, 0)
+                             + ints[i % len(ints)]) % fr.p
+    base, acc = [], cv.g1
+    for _ in range(distinct):
+        base.append(acc)
+        acc = hc.g1_add(cv, acc, cv.g1)
+    want = None
+    for i, s in agg.items():
+        want = hc.g1_add(cv, want, hc.g1_mul(cv, base[i], s))
+    assert got == want, "sharded cw=16 MSM mismatch"
+    log(f"  msm run_sharded cw=16 (1-device mesh, 2^{log_n}): OK")
+
+
 def _plonkish_circuit(n_constraints):
     import importlib.util
 
@@ -324,6 +357,7 @@ def main():
     ntt_rate = time_ntt("bn254_fr", log_n)
 
     if full:
+        check_msm_sharded_cw16(cv)
         check_msm_small(cv, "g2", 10)
         check_msm_small(hc.BLS12_381, "g1", 10)
         time_msm(cv, "g2", min(log_n - 2, 18), iters=1)

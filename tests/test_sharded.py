@@ -101,3 +101,32 @@ def test_apply_key_sharded_matches_local(mesh):
     want = ptau_ops.apply_key_g1(cv, lem, n, first, inc)
     got = ptau_ops.apply_key_g1(cv, lem, n, first, inc, mesh=mesh)
     assert bytes(got) == bytes(want)
+
+
+def test_tpu_msm_run_sharded_matches_host(mesh):
+    """The PRODUCTION fused-MSM engine's run_sharded (the path the mesh
+    provers call), virtual 8-device mesh, vs host bigints."""
+    from snarkjs_tpu.curves import msm_tpu
+
+    cv = hc.BN254
+    rng = random.Random(31)
+    n, nw, cw = 200, 2, 8
+    ks = [rng.randrange(1, cv.fr.p) for _ in range(n)]
+    pts = [hc.g1_mul(cv, cv.g1, k) for k in ks]
+    ints = [rng.randrange(0, 1 << (cw * nw)) for _ in range(n)]
+    fq = cv.fq
+    px = fjnp.np_from_ints(fq, [fq.to_mont(p[0]) for p in pts])
+    py = fjnp.np_from_ints(fq, [fq.to_mont(p[1]) for p in pts])
+    inf = np.zeros(n, dtype=bool)
+    scal = np.zeros((nw, n), dtype=np.uint32)
+    for j, v in enumerate(ints):
+        for w in range(nw):
+            scal[w, j] = (v >> (cw * w)) & ((1 << cw) - 1)
+    m = msm_tpu.TpuMSM(cv.fq, cv.fr, cv.b, cv.g1, ext=1, cw=cw)
+    got = msm.host_jac_to_affine(
+        fq, m.run_sharded(mesh, px, py, inf, scal))
+    want = None
+    for p, v in zip(pts, ints):
+        if v:
+            want = hc.g1_add(cv, want, hc.g1_mul(cv, p, v))
+    assert got == want
