@@ -82,3 +82,27 @@ def test_fflonk_setup_from_secrets_roundtrip():
     proof, publics = fflonk.prove(zk, wit)
     vk = fflonk.export_verification_key(zk)
     assert fflonk.verify(vk, publics, proof)
+
+
+def test_fflonk_mesh_prove_matches_local():
+    """Mesh-sharded commitment MSMs produce byte-identical fflonk proofs
+    under fixed blinding (8 virtual devices)."""
+    import json
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from snarkjs_tpu.formats import wtns as wtns_fmt
+    from snarkjs_tpu.formats import zkey as zkey_fmt
+    from snarkjs_tpu.protocols import fflonk
+
+    zk = zkey_fmt.read_fflonk_zkey(os.path.join(REF, "circuit.zkey"))
+    wit = wtns_fmt.read_wtns(os.path.join(REF, "witness.wtns"))
+    b = list(range(1, 11))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    proof_m, pub_m = fflonk.prove(zk, wit, b=b, mesh=mesh, msm_cw=8)
+    proof_l, pub_l = fflonk.prove(zk, wit, b=b)
+    assert json.dumps((proof_m, pub_m)) == json.dumps((proof_l, pub_l))
+    vk = fflonk.export_verification_key(zk)
+    assert fflonk.verify(vk, pub_m, proof_m)
