@@ -214,7 +214,8 @@ class MSMContext:
         self.f = FqOps(fq_ctx) if extension == 1 else Fq2Ops(fq_ctx)
 
     def run(self, px, py, pinf, scalars, c: int = 8, nbits: int | None = None,
-            R: int | None = None, mesh=None, cw: int = 16):
+            R: int | None = None, mesh=None, cw: int = 16,
+            legacy: bool = False):
         """MSM over plain-form scalars.  Returns host jacobian int tuple.
 
         px/py: affine coordinates as (NL, N) arrays (Fq) or 2-tuples (Fq2),
@@ -223,12 +224,24 @@ class MSMContext:
         (the suffix-scan engine runs per shard, partials combine on host);
         `cw` selects the Pippenger window width (16 = production; 8 keeps
         interpret-mode compile cheap for off-TPU mesh validation).
+
+        The suffix-scan engine (curves/msm_tpu.py) is the only production
+        path — Pallas kernels on TPU, a compile-light associative-scan
+        fallback elsewhere.  `legacy=True` reaches the old sort/segment
+        XLA Pippenger (its own tests only; its giant unrolled programs
+        could crash the XLA CPU compiler under a full-suite process).
         """
-        if mesh is not None or fjnp._use_pallas():
+        if not legacy:
             # fused Pallas suffix-scan Pippenger (curves/msm_tpu.py)
             from . import msm_tpu
             from .host_curve import curve_from_q
 
+            # narrow windows for small batches (and everywhere off-TPU):
+            # bucket-combine work scales with 2^(cw-1), so a 63-point
+            # consistency-check MSM must not pay a 2^15-bucket tree
+            if cw == LIMB_BITS and (jax.default_backend() != "tpu"
+                                    or scalars.shape[-1] < (1 << 14)):
+                cw = 8
             cv = curve_from_q(self.fp.p)
             m = msm_tpu.get_msm(cv.name, "g1" if self.ext == 1 else "g2",
                                 cw=cw)

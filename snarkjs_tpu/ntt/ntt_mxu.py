@@ -337,6 +337,144 @@ def _pallas_mm(nd: int, r_out: int, q: int, m: int, kt: int, mt: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_mm_norm(fp_name: str, r_out: int, q: int, m: int, kt: int,
+                    mt: int, interpret: bool = False):
+    """Digit matmul with the column NORMALIZATION fused as the kernel
+    epilogue: W8 (nd,r_out,q) s8, D8 (nd,q,m) s8 -> (nl, r_out, m) u32
+    canonical limbs.  The unfused path wrote 2nd-1 i32 column planes
+    (~272 MB per 2^20 stage) to HBM and re-read them in an XLA normalize
+    pass; here the columns live in a VMEM scratch accumulator across the
+    c-grid and only the nl u16-limb planes ever reach HBM."""
+    fp = get_params(fp_name)
+    nd = _nd(fp)
+    nc = 2 * nd - 1
+    nl = fp.nl
+    ndig = fp.n8
+    nh, F = _fold_tables(fp_name, nc)
+    shift, mu, p_limbs, c_limbs = _barrett_consts(fp_name, nh)
+    ncap = nc + 3
+
+    def kernel(w_ref, d_ref, o_ref, acc_ref):
+        c = pl.program_id(2)
+
+        @pl.when(c == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        for i in range(nd):
+            j = c - i
+
+            @pl.when(jnp.logical_and(j >= 0, j < nd))
+            def _():
+                dj = d_ref[jnp.maximum(j, 0) % nd]
+                acc_ref[c] += jax.lax.dot_general(
+                    w_ref[i], dj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=I32)
+
+        @pl.when(c == nc - 1)
+        def _epilogue():
+            zeros = jnp.zeros((kt, mt), I32)
+            # 1) signed carry-normalize to u8 digits
+            digs = []
+            carry = zeros
+            for i in range(ncap):
+                v = (acc_ref[i] + carry) if i < nc else carry
+                digs.append(v & 0xFF)
+                carry = v >> 8
+            lo = digs[:ndig]
+            hi = digs[ndig:]
+            # 2) balanced-recode high digits, fold via the constant table
+            hs = []
+            hc = zeros
+            for d in range(nh):
+                v = hi[d] + hc
+                mneg = (v >= 128).astype(I32)
+                hs.append(v - 256 * mneg)
+                hc = mneg
+            hs.append(hc)
+            fold = []
+            for dd in range(ndig + 1):
+                accv = None
+                for h in range(nh + 1):
+                    fv = int(F[h, dd])
+                    if fv == 0:
+                        continue
+                    t = hs[h] * fv
+                    accv = t if accv is None else accv + t
+                fold.append(accv if accv is not None else zeros)
+            # 3) combine into 16-bit limbs + compensation constant
+            cc = zeros
+            limbs = []
+            for i in range(nl + 1):
+                d0 = lo[2 * i] if 2 * i < ndig else 0
+                d1 = lo[2 * i + 1] if 2 * i + 1 < ndig else 0
+                f0 = fold[2 * i] if 2 * i < ndig + 1 else 0
+                f1 = fold[2 * i + 1] if 2 * i + 1 < ndig + 1 else 0
+                v = d0 + f0 + ((d1 + f1) << 8) + c_limbs[i] + cc
+                limbs.append(v & 0xFFFF)
+                cc = v >> 16
+            # 4) Barrett quotient estimate + subtract q*p
+            sl, sb = divmod(shift, 16)
+            T = limbs[sl] >> sb
+            for j2 in range(sl + 1, nl + 1):
+                off = 16 * (j2 - sl) - sb
+                if off < 22:
+                    T = T | (limbs[j2] << off)
+            mu_lo, mu_hi = mu & 0xFFFF, mu >> 16
+            T_lo, T_hi = T & 0xFFFF, T >> 16
+            mid = T_lo * mu_hi + T_hi * mu_lo + ((T_lo * mu_lo) >> 16)
+            qv = T_hi * mu_hi + (mid >> 16)
+            q_lo, q_hi = qv & 0xFFFF, qv >> 16
+            cc = zeros
+            sub = []
+            for i in range(nl + 1):
+                pi = p_limbs[i]
+                pim = p_limbs[i - 1] if i >= 1 else 0
+                v = q_lo * pi + q_hi * pim + cc
+                sub.append(v & 0xFFFF)
+                cc = v >> 16
+            bb = zeros
+            outv = []
+            for i in range(nl + 1):
+                v = limbs[i] - sub[i] - bb
+                outv.append(v & 0xFFFF)
+                bb = (v >> 16) & 1
+            # 5) final conditional subtracts
+            for _ in range(2):
+                b2 = zeros
+                diff = []
+                for i in range(nl + 1):
+                    v = outv[i] - p_limbs[i] - b2
+                    diff.append(v & 0xFFFF)
+                    b2 = (v >> 16) & 1
+                keep = b2.astype(jnp.bool_)
+                outv = [jnp.where(keep, o, d2)
+                        for o, d2 in zip(outv, diff)]
+            o_ref[...] = jnp.stack(outv[:nl]).astype(U32)
+
+    def run(W8, D8):
+        return pl.pallas_call(
+            kernel,
+            grid=(r_out // kt, m // mt, nc),
+            in_specs=[
+                pl.BlockSpec((nd, kt, q), lambda a, b, c: (0, a, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nd, q, mt), lambda a, b, c: (0, 0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nl, kt, mt), lambda a, b, c: (0, a, b),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nl, r_out, m), U32),
+            scratch_shapes=[pltpu.VMEM((nc, kt, mt), I32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(W8, D8)
+
+    return run
+
+
 def _einsum_mm(W8, D8):
     """Portable digit-product matmul (CPU tests / small shapes)."""
     nd = W8.shape[0]
@@ -362,11 +500,10 @@ def _mm_stage(ctx: FieldCtx, k: int, inverse: bool, a):
     use_pallas = (jax.default_backend() == "tpu" and r >= 256
                   and m >= _PALLAS_MIN_M and m % 128 == 0)
     if use_pallas:
-        kt = min(256, r)
-        mt = 256 if m % 256 == 0 else 128
-        cols = _pallas_mm(nd, r, r, m, kt, mt)(W8, D8)
-    else:
-        cols = _einsum_mm(W8, D8)
+        kt = min(128, r)
+        mt = 128
+        return _pallas_mm_norm(fp.name, r, r, m, kt, mt)(W8, D8)
+    cols = _einsum_mm(W8, D8)
     return _normalize_cols(fp, cols)
 
 

@@ -68,3 +68,21 @@ def test_normalize_cols_bounds():
     out = ntt_mxu._normalize_cols(fp, jnp.asarray(cols))
     got = fjnp.np_to_ints(fp, np.asarray(out).reshape(fp.nl, 32))
     assert got == vals_true
+
+
+def test_fused_normalize_kernel_matches_xla():
+    """The Pallas matmul+normalize kernel (TPU production path) vs the
+    einsum + XLA normalize pair, interpret mode, both fields."""
+    for field in ("bn254_fr",):
+        ctx = fjnp.get_ctx(field)
+        fp = ctx.fp
+        rng = np.random.default_rng(41)
+        r, m = 256, 128
+        k = 8
+        a = _rand_mont(fp, rng, r * m).reshape(fp.nl, r, m)
+        W8 = jnp.asarray(ntt_mxu._w_matrix_digits(fp.name, k, False))
+        D8 = ntt_mxu._to_digits(fp, a)
+        want = ntt_mxu._normalize_cols(fp, ntt_mxu._einsum_mm(W8, D8))
+        got = ntt_mxu._pallas_mm_norm(
+            fp.name, r, r, m, 128, 128, interpret=True)(W8, D8)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
