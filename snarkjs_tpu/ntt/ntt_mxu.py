@@ -500,10 +500,20 @@ def _mm_stage(ctx: FieldCtx, k: int, inverse: bool, a):
     use_pallas = (jax.default_backend() == "tpu" and r >= 256
                   and m >= _PALLAS_MIN_M and m % 128 == 0)
     if use_pallas:
-        kt = min(128, r)
-        mt = 128
-        return _pallas_mm_norm(fp.name, r, r, m, kt, mt)(W8, D8)
-    cols = _einsum_mm(W8, D8)
+        import os
+
+        if os.environ.get("SNARKJS_NTT_FUSED") == "1":
+            # fused matmul+normalize epilogue: measured SLOWER on v5e
+            # (43.5 vs 32.6 ms at 2^20 — the 128-wide tiles it needs for
+            # VMEM lose more MXU efficiency than skipping the column HBM
+            # round trip gains), kept for future tile-shape work
+            return _pallas_mm_norm(fp.name, r, r, m, min(128, r), 128)(
+                W8, D8)
+        kt = min(256, r)
+        mt = 256 if m % 256 == 0 else 128
+        cols = _pallas_mm(nd, r, r, m, kt, mt)(W8, D8)
+    else:
+        cols = _einsum_mm(W8, D8)
     return _normalize_cols(fp, cols)
 
 
