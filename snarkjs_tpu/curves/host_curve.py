@@ -32,7 +32,7 @@ class CurveParams:
     twist_type: str             # "D" (divisive, bn254) or "M" (multiplicative, bls)
     g1: tuple                   # generator (x, y)
     g2: tuple                   # generator ((xa,xb),(ya,yb))
-    # BLS/BN parameter x (for info; pairing uses full Tate loop over r)
+    # BLS/BN curve parameter x (optimal-ate loop constant; sign significant)
     x_param: int = 0
 
 
@@ -203,9 +203,17 @@ def g2_mul_any(cv, P, k: int):
 # w^6 = xi.  With this orientation all vertical lines evaluate into the even
 # subalgebra Fp6 (components at w^0/w^2/w^4 only), which the final
 # exponentiation (p^6-1 factor) annihilates — standard denominator
-# elimination.  Loop count is the full group order r (Tate-style), which is
-# bilinear and non-degenerate on G2 x G1 for any pairing-friendly curve,
-# avoiding per-curve optimal-ate loop constants.
+# elimination.
+#
+# The pairing is the REDUCED OPTIMAL ATE — the same canonical value
+# ffjavascript computes (reference engine for src/groth16_verify.js:72-78
+# and the Gt export src/zkey_export_verificationkey.js:59), so exported
+# vk_alphabeta_12 coordinates are byte-identical:
+#   BN family:  f = f_{6x+2,Q}(P) * l_{T,piQ}(P) * l_{T+piQ,-pi^2 Q}(P)
+#   BLS family: f = conj(f_{|x|,Q}(P))          (x < 0; conj == inverse
+#               after the final exponentiation, f^(p^12-1) = 1)
+# then f^((p^12-1)/r).  The ~65-bit ate loop is also ~4x faster than the
+# full-order Tate loop this replaced.
 
 
 def _line_as_f12(cv, c0_fp, c1, c3, c5):
@@ -217,8 +225,9 @@ def _line_as_f12(cv, c0_fp, c1, c3, c5):
     return (((c0_fp % cv.fq.p, 0), tw.F2_ZERO, tw.F2_ZERO), (c1, c3, c5))
 
 
-def _miller_loop_g2(cv: CurveParams, P, Q, loop: int):
-    """f_{loop, Q'}(P) with verticals dropped.  P g1-affine, Q g2-affine."""
+def _line_steps(cv: CurveParams, P):
+    """Doubling/addition step closures for Miller loops: each returns the
+    sparse line value l(P) (verticals dropped) and the new running point."""
     p, xi = cv.fq.p, cv.xi
     xP, yP = P
 
@@ -259,6 +268,14 @@ def _miller_loop_g2(cv: CurveParams, P, Q, loop: int):
                                   tw.F2_ZERO, tw.F2_ZERO), p), l[1])
         return l, (x3, y3)
 
+    return dbl_step, add_step
+
+
+def _miller_loop_g2(cv: CurveParams, P, Q, loop: int):
+    """(f_{loop, Q'}(P), [loop]Q') with verticals dropped.  P g1-affine,
+    Q g2-affine (twist coordinates)."""
+    p, xi = cv.fq.p, cv.xi
+    dbl_step, add_step = _line_steps(cv, P)
     f = tw.f12_one()
     T = Q
     for b in bin(loop)[3:]:
@@ -270,7 +287,34 @@ def _miller_loop_g2(cv: CurveParams, P, Q, loop: int):
             if T is None:
                 break
             f = tw.f12_mul(f, l, p, xi)
-    return f
+    return f, T
+
+
+def _frob_twist(cv: CurveParams, Q):
+    """psi^-1 . pi . psi on twist-affine G2 points (D-type untwist
+    (x,y) -> (x w^2, y w^3)):  (conj(x)*xi^((p-1)/3), conj(y)*xi^((p-1)/2))."""
+    p = cv.fq.p
+    g = _frob_gammas(cv.name)       # g[i-1] = xi^(i*(p-1)/6)
+    return (tw.f2_mul(tw.f2_conj(Q[0], p), g[1], p),
+            tw.f2_mul(tw.f2_conj(Q[1], p), g[2], p))
+
+
+def _ate_miller(cv: CurveParams, P, Q):
+    """Un-reduced optimal-ate Miller value (canonical; see section comment)."""
+    p, xi = cv.fq.p, cv.xi
+    if cv.x_param > 0:              # BN family: loop 6x+2 + frobenius lines
+        f, T = _miller_loop_g2(cv, P, Q, 6 * cv.x_param + 2)
+        _, add_step = _line_steps(cv, P)
+        Q1 = _frob_twist(cv, Q)
+        Q2 = _frob_twist(cv, Q1)
+        nQ2 = (Q2[0], tw.f2_neg(Q2[1], p))
+        l, T = add_step(T, Q1)
+        f = tw.f12_mul(f, l, p, xi)
+        l, T = add_step(T, nQ2)
+        return tw.f12_mul(f, l, p, xi)
+    # BLS family: loop |x|; x < 0 -> conjugate (== inverse after final exp)
+    f, _ = _miller_loop_g2(cv, P, Q, -cv.x_param)
+    return tw.f12_conj(f, p)
 
 
 @lru_cache(maxsize=None)
@@ -300,8 +344,7 @@ def pairing(cv: CurveParams, P, Q):
     """e(P, Q) with P in G1 affine, Q in G2 affine.  None -> 1."""
     if P is None or Q is None:
         return tw.f12_one()
-    f = _miller_loop_g2(cv, P, Q, cv.fr.p)
-    return final_exponentiation(cv, f)
+    return final_exponentiation(cv, _ate_miller(cv, P, Q))
 
 
 def multi_miller(cv: CurveParams, pairs):
@@ -310,7 +353,7 @@ def multi_miller(cv: CurveParams, pairs):
     for P, Q in pairs:
         if P is None or Q is None:
             continue
-        f = tw.f12_mul(f, _miller_loop_g2(cv, P, Q, cv.fr.p), p, xi)
+        f = tw.f12_mul(f, _ate_miller(cv, P, Q), p, xi)
     return f
 
 

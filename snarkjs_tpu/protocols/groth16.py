@@ -240,12 +240,11 @@ def _gt_obj(f12):
 def export_verification_key(zkey: zkey_fmt.Groth16Zkey) -> dict:
     """vkey JSON object (reference src/zkey_export_verificationkey.js:28-77).
 
-    vk_alphabeta_12 = e(alpha_1, beta_2) as a Gt element.  Computed with
-    this repo's reduced Tate pairing (curves/host_curve.py); the reference
-    engine uses optimal ate, so the raw Fp12 coordinates are a fixed power
-    of the reference's — interchangeable inside either system (no verifier
-    reads this field; reference src/groth16_verify.js uses pairingEq on
-    alpha/beta directly).
+    vk_alphabeta_12 = e(alpha_1, beta_2) as a Gt element, computed with the
+    reduced optimal-ate pairing (curves/host_curve.py) — the same canonical
+    value ffjavascript's engine produces, so the exported Fp12 coordinates
+    are byte-identical to the reference's
+    (src/zkey_export_verificationkey.js:59).
     """
     return {
         "protocol": "groth16",
